@@ -1,0 +1,229 @@
+"""Configuration dataclasses for lavender-tpu.
+
+Replaces the reference's three config systems (argparse+JSON in
+``utils/args.py``, the vendored mmcv ``visbackbone/config.py``, and the
+HuggingFace model configs) with plain dataclasses.  Presets mirror the
+reference's Swin size matrix (``visbackbone/swin_{tiny,small,base,large}*.py``)
+and BERT-base (``bert-base-uncased``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Video Swin 3D backbone config (reference: visbackbone/swin_*.py)."""
+
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    in_chans: int = 3
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = True
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+
+# Size presets mirroring visbackbone/swin_{tiny,small,base,large}.py and the
+# 384/window81212 variants selected by get_vidswin_model (video_swin.py:571-599).
+SWIN_PRESETS: Dict[str, SwinConfig] = {
+    "tiny": SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "small": SwinConfig(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "base": SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+    "large": SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+    "large_384": SwinConfig(
+        embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
+        window_size=(8, 12, 12)),
+    # 'violet' random-init variant (swin_violet_patch244_window877.py)
+    "violet": SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)),
+}
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """BERT config for the text embeddings / fusion encoder / MLM head."""
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full LAVENDER model config (reference: model.py LAVENDER_Base)."""
+
+    swin: SwinConfig = field(default_factory=lambda: SWIN_PRESETS["base"])
+    bert: BertConfig = field(default_factory=BertConfig)
+    # EncVideo adapter (model.py:5-35)
+    max_size_frame: int = 6
+    max_size_patch: int = 14
+    # EncTxt: embeddings-only by default (utils/args.py:91-93)
+    txt_backbone_embed_only: bool = True
+    # task token table (main_retrieval_mlm.py:46-48)
+    num_task_tokens: int = 10
+    enable_task_token: bool = False
+    enable_prompt: bool = False
+    # compute dtype ("bfloat16" on TPU, "float32" for parity tests)
+    dtype: str = "float32"
+
+    @property
+    def hidden_size(self) -> int:
+        return self.bert.hidden_size
+
+
+TASK_TOK2ID = {"vtm": 0, "mc": 1, "oe": 2, "cap": 3}
+
+
+@dataclass
+class TrainConfig:
+    """Training hyper-parameters (reference: utils/args.py + agent.py)."""
+
+    lr: float = 1.2e-5
+    decay: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.98)
+    vis_backbone_lr_mul: float = 1.0
+    warmup_ratio: float = 0.1
+    min_lr: float = 1e-8
+    max_grad_norm: float = -1.0
+    size_epoch: int = 20
+    size_batch: int = 8
+    seed: int = 88
+    temp: float = 0.05  # NormSoftmaxLoss temperature (agent.py:47)
+    p_mask: float = 0.15  # MLM mask probability
+    label_smoothing: float = 0.1
+    max_iter: int = 0  # filled in from len(dataset) like the reference mains
+
+
+@dataclass
+class DataConfig:
+    """Data pipeline config (reference: dataset.py / utils/args.py)."""
+
+    data_dir: str = "./_datasets"
+    dataset: str = ""
+    task: str = ""
+    size_img: int = 224
+    size_frame: int = 5
+    size_txt: int = 25
+    size_option: int = 5
+    size_vocab: int = -1
+    img_transform: Tuple[str, ...] = ("img_center_crop",)
+    mask_pos: str = "append"
+    data_ratio: float = 1.0
+    n_workers: int = 4
+    vocab_path: str = ""  # WordPiece vocab.txt
+
+
+@dataclass
+class RunConfig:
+    """Top-level run config = model + train + data + task wiring.
+
+    JSON files with the reference's ``_args/args_*.json`` key names are
+    accepted by :func:`load_run_config`.
+    """
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    task_type: str = "retrieval"  # retrieval|qamc|qaoe|retmc|caption|pretrain|multi
+    path_ckpt: str = ""
+    path_output: str = "./_snapshot"
+    vis_backbone_size: str = "base"
+    multi_clip_testing: bool = False
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    if typ is None:
+        return value
+    origin = getattr(typ, "__origin__", None)
+    if origin in (tuple, Tuple) and isinstance(value, (list, tuple)):
+        return tuple(value)
+    return value
+
+
+def load_run_config(path_or_dict) -> RunConfig:
+    """Build a RunConfig from a JSON file using the reference arg names.
+
+    Key names follow ``utils/args.py`` so the reference's ``_args/*.json``
+    recipes can be reused directly.
+    """
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            raw = json.load(f)
+    else:
+        raw = dict(path_or_dict)
+
+    cfg = RunConfig()
+    size = raw.get("vis_backbone_size", "base")
+    size_img = int(raw.get("size_img", 224))
+    preset = "large_384" if (size == "large" and size_img == 384) else size
+    swin = SWIN_PRESETS.get(preset, SWIN_PRESETS["base"])
+    model = ModelConfig(
+        swin=swin,
+        max_size_frame=int(raw.get("max_size_frame", 6)),
+        max_size_patch=int(raw.get("max_size_patch", 14)),
+        enable_task_token=bool(raw.get("enable_task_token", False)),
+        enable_prompt=bool(raw.get("enable_prompt", False)),
+    )
+    train = TrainConfig(
+        lr=float(raw.get("lr", 1.2e-5)),
+        decay=float(raw.get("decay", 1e-3)),
+        vis_backbone_lr_mul=float(raw.get("vis_backbone_lr_mul", 1.0)),
+        max_grad_norm=float(raw.get("max_grad_norm", -1.0)),
+        size_epoch=int(raw.get("size_epoch", 20)),
+        size_batch=int(raw.get("size_batch", 8)),
+        seed=int(raw.get("seed", 88)),
+        temp=float(raw.get("temp", 0.05)),
+        p_mask=float(raw.get("p_mask", 0.15)),
+    )
+    ds = raw.get("dataset", "")
+    if isinstance(ds, (list, tuple)):
+        ds = ds[0] if ds else ""
+    data = DataConfig(
+        data_dir=raw.get("data_dir", "./_datasets"),
+        dataset=ds,
+        task=raw.get("task", ""),
+        size_img=size_img,
+        size_frame=int(raw.get("size_frame", 5)),
+        size_txt=int(raw.get("size_txt", 25)),
+        size_option=int(raw.get("size_option", 5)),
+        size_vocab=int(raw.get("size_vocab", -1)),
+        img_transform=tuple(raw.get("img_transform", ["img_center_crop"])),
+        mask_pos=raw.get("mask_pos", "append"),
+        data_ratio=float(raw.get("data_ratio", 1.0)),
+        vocab_path=raw.get("vocab_path", ""),
+    )
+    cfg = RunConfig(
+        model=model, train=train, data=data,
+        task_type=raw.get("type", "retrieval"),
+        path_ckpt=raw.get("path_ckpt", ""),
+        path_output=raw.get("path_output", "./_snapshot"),
+        vis_backbone_size=size,
+        multi_clip_testing=bool(raw.get("multi_clip_testing", False)),
+    )
+    return cfg

@@ -1,0 +1,194 @@
+"""PyTorch checkpoint -> flax params converter.
+
+Converts the reference's released ``.pt`` state dicts (LAVENDER / VIOLET /
+SwinBERT key layouts, see model.py:352-473 and video_swin.py:482-533,648-654)
+into the nested param pytrees of :mod:`lavender_tpu.models`.
+
+The flax module tree intentionally mirrors the torch module paths, so the
+conversion is a mechanical rewrite:
+
+* ``a.b.3.c`` -> ``a/b_3/c`` (indexed submodules)
+* Linear ``weight`` (2-D) -> ``kernel`` transposed; Conv3d ``weight`` (5-D) ->
+  ``kernel`` with layout OIDHW -> DHWIO; LayerNorm ``weight`` (1-D) ->
+  ``scale``; ``*_embeddings.weight`` -> ``embedding`` (untransposed).
+* buffers (``relative_position_index``, ``attn_mask``, ``position_ids``) are
+  dropped — they are recomputed at trace time.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+# torch module paths whose 2-D `weight` is an nn.Embedding, not nn.Linear
+_EMBEDDING_MODULES = (
+    "word_embeddings", "position_embeddings", "token_type_embeddings",
+)
+
+_DROP_PATTERNS = (
+    "relative_position_index", "attn_mask", "position_ids",
+)
+
+# HF sub-path flattenings used by our flax modules (see models/bert.py)
+_REWRITES = (
+    # BertLayer: intermediate.dense / output.dense / output.LayerNorm flattening
+    (re.compile(r"(layer_\d+)/intermediate/dense/"), r"\1/intermediate_dense/"),
+    (re.compile(r"(layer_\d+)/output/dense/"), r"\1/output_dense/"),
+    (re.compile(r"(layer_\d+)/output/LayerNorm/"), r"\1/output_LayerNorm/"),
+    # BertOnlyMLMHead (cls.predictions.* or fc_mtm.predictions.*)
+    (re.compile(r"predictions/transform/dense/"), r"transform_dense/"),
+    (re.compile(r"predictions/transform/LayerNorm/"), r"transform_LayerNorm/"),
+    (re.compile(r"predictions/decoder/"), r"decoder/"),
+)
+
+
+def to_numpy_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Detach a torch state_dict to plain numpy arrays."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _map_key(key: str, value: np.ndarray):
+    """Map one torch key to (slash path, converted array) or (None, None)."""
+    if any(p in key for p in _DROP_PATTERNS):
+        return None, None
+    parts = key.split(".")
+    name = parts[-1]
+    mods: list = []
+    for p in parts[:-1]:
+        if p.isdigit() and mods:
+            mods[-1] = f"{mods[-1]}_{p}"
+        else:
+            mods.append(p)
+    leaf_module = mods[-1] if mods else ""
+
+    if name == "weight":
+        if value.ndim == 1:
+            name = "scale"  # LayerNorm
+        elif value.ndim == 2:
+            if leaf_module in _EMBEDDING_MODULES:
+                name = "embedding"
+            else:
+                name = "kernel"
+                value = value.T
+        elif value.ndim == 5:  # Conv3d OIDHW -> DHWIO
+            name = "kernel"
+            value = value.transpose(2, 3, 4, 1, 0)
+        else:
+            name = "kernel"
+    path = "/".join(mods + [name]) if mods else name
+    for pat, repl in _REWRITES:
+        path = pat.sub(repl, path)
+    return path, value
+
+
+def _insert(tree: Dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = value
+
+
+def convert_state_dict(state_dict: Mapping[str, Any],
+                       strip_prefix: str = "") -> Dict:
+    """Convert a (sub-)state dict to a nested flax param tree.
+
+    ``strip_prefix`` selects and strips a torch key prefix, e.g.
+    ``"bert.encoder."`` to convert just the fusion encoder.
+    """
+    sd = to_numpy_state_dict(state_dict)
+    # MLM-head tied bias: prefer decoder.bias; synthesize it from
+    # predictions.bias when absent (reference does the reverse remap at
+    # model.py:470).
+    keys = list(sd.keys())
+    for k in keys:
+        if k.endswith("predictions.bias"):
+            dec = k[: -len("bias")] + "decoder.bias"
+            if dec not in sd:
+                sd[dec] = sd[k]
+            del sd[k]
+    tree: Dict = {}
+    for k, v in sd.items():
+        if strip_prefix:
+            if not k.startswith(strip_prefix):
+                continue
+            k = k[len(strip_prefix):]
+        path, val = _map_key(k, v)
+        if path is None:
+            continue
+        _insert(tree, path, val)
+    return tree
+
+
+def convert_lavender_checkpoint(state_dict: Mapping[str, Any],
+                                max_size_frame: Optional[int] = None,
+                                max_size_patch: Optional[int] = None) -> Dict:
+    """Convert a full LAVENDER ``ckpt_violet_*.pt`` state dict.
+
+    Handles the emb_len / emb_pos truncate-or-pad tolerance of the reference
+    loader (model.py:406-429): if the target sizes are larger than the
+    checkpoint's, the loaded rows are placed at the front (the remainder keeps
+    converted-checkpoint values absent -> caller should merge with init).
+    """
+    tree = convert_state_dict(state_dict)
+    enc_img = tree.get("enc_img", {})
+    if max_size_frame is not None and "emb_len" in enc_img:
+        cur = enc_img["emb_len"]
+        if cur.shape[1] > max_size_frame:
+            enc_img["emb_len"] = cur[:, :max_size_frame]
+    if max_size_patch is not None and "emb_pos" in enc_img:
+        cur = enc_img["emb_pos"]
+        want = 1 + max_size_patch ** 2
+        if cur.shape[2] > want:
+            enc_img["emb_pos"] = cur[:, :, :want]
+    return tree
+
+
+def merge_params(init_params: Dict, loaded: Dict, path: str = "") -> Dict:
+    """Recursively overlay ``loaded`` onto ``init_params``.
+
+    Mirrors the reference's tolerant loader (model.py:370-405): keys missing
+    from the checkpoint keep their init values; shape-mismatched leaves are
+    partially copied when the loaded array is a prefix slice (emb_len/emb_pos
+    truncate-or-pad, model.py:406-429), otherwise kept at init.
+    Returns a new tree; logs nothing (caller can diff if needed).
+    """
+    out = {}
+    for k, v in init_params.items():
+        if k not in loaded:
+            out[k] = v
+            continue
+        lv = loaded[k]
+        if isinstance(v, dict):
+            out[k] = merge_params(v, lv, f"{path}/{k}")
+        else:
+            v = np.asarray(v)
+            lv = np.asarray(lv)
+            if v.shape == lv.shape:
+                out[k] = lv.astype(v.dtype)
+            elif lv.ndim == v.ndim and all(
+                    ls <= s for ls, s in zip(lv.shape, v.shape)):
+                nv = np.array(v)
+                nv[tuple(slice(0, s) for s in lv.shape)] = lv
+                out[k] = nv.astype(v.dtype)
+            else:
+                out[k] = v  # incompatible; keep init (reference skips too)
+    return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a ``.pt`` file to a numpy state dict (requires torch)."""
+    import torch  # local import: torch is a conversion-time-only dependency
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = {k.replace("backbone.", ""): v for k, v in sd["state_dict"].items()}
+    elif isinstance(sd, dict) and "model" in sd and all(
+            not hasattr(v, "shape") for v in [sd.get("model")]):
+        sd = sd["model"]
+    return to_numpy_state_dict(sd)

@@ -1,0 +1,113 @@
+"""Golden-parity tests: JAX VideoSwin3D vs the PyTorch reference.
+
+Strategy (SURVEY.md §4): random-init the reference SwinTransformer3D, convert
+its state_dict with lavender_tpu.convert, run both on the same input, compare
+activations in f32.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lavender_tpu.config import SwinConfig
+from lavender_tpu.convert import convert_state_dict
+from lavender_tpu.models import swin3d
+
+torch = pytest.importorskip("torch")
+from tests.reference_oracle import import_reference_video_swin  # noqa: E402
+
+video_swin = import_reference_video_swin()
+
+
+def _tiny_cfg():
+    return SwinConfig(
+        embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=(8, 7, 7),
+        drop_path_rate=0.0)
+
+
+def _make_pair(cfg: SwinConfig, seed=0):
+    torch.manual_seed(seed)
+    ref = video_swin.SwinTransformer3D(
+        pretrained=None, pretrained2d=False,
+        patch_size=list(cfg.patch_size), embed_dim=cfg.embed_dim,
+        depths=list(cfg.depths), num_heads=list(cfg.num_heads),
+        window_size=cfg.window_size, drop_path_rate=0.0,
+        patch_norm=cfg.patch_norm)
+    ref.eval()
+    params = convert_state_dict(ref.state_dict())
+    model = swin3d.VideoSwin3D(cfg)
+    return ref, model, {"params": params}
+
+
+def _compare(cfg, B=1, T=3, H=56, W=56, seed=0, tol=2e-4):
+    ref, model, variables = _make_pair(cfg, seed)
+    rng = np.random.RandomState(seed)
+    x = rng.randn(B, T, H, W, 3).astype(np.float32)
+    with torch.no_grad():
+        # reference takes NCDHW
+        y_ref = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    y_ref = y_ref.numpy().transpose(0, 2, 3, 4, 1)  # -> [B, D, H', W', C]
+    y = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert y.shape == y_ref.shape, (y.shape, y_ref.shape)
+    err = np.max(np.abs(y - y_ref)) / max(1e-6, np.max(np.abs(y_ref)))
+    assert err < tol, f"relative max err {err}"
+
+
+def test_window_partition_reverse_roundtrip():
+    x = jnp.arange(2 * 4 * 14 * 14 * 3, dtype=jnp.float32).reshape(
+        2, 4, 14, 14, 3)
+    ws = (2, 7, 7)
+    wins = swin3d.window_partition(x, ws)
+    assert wins.shape == (2 * 2 * 2 * 2, 2 * 7 * 7, 3)
+    x2 = swin3d.window_reverse(wins, ws, 2, 4, 14, 14)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
+
+
+def test_window_partition_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 14, 14, 3).astype(np.float32)
+    ws = (2, 7, 7)
+    ours = np.asarray(swin3d.window_partition(jnp.asarray(x), ws))
+    theirs = video_swin.window_partition(torch.from_numpy(x), ws).numpy()
+    np.testing.assert_allclose(ours, theirs)
+
+
+def test_relative_position_index_matches_torch():
+    attn = video_swin.WindowAttention3D(16, (3, 5, 5), 2)
+    theirs = attn.relative_position_index.numpy()
+    ours = swin3d.relative_position_index((3, 5, 5))
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_shift_mask_matches_torch():
+    ws, ss = (2, 7, 7), (1, 3, 3)
+    theirs = video_swin.compute_mask(4, 14, 14, ws, ss, "cpu").numpy()
+    ours = swin3d.compute_shift_mask(4, 14, 14, ws, ss)
+    # torch mask sign convention may differ per cell; values are 0 or -100
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_swin_tiny_depth2_golden():
+    _compare(_tiny_cfg())
+
+
+def test_swin_golden_T5_224_like():
+    # T=5 (the finetune size_frame), smaller spatial for speed: exercises
+    # temporal window shrink 8->5 and shift drop.
+    cfg = SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                     window_size=(8, 7, 7), drop_path_rate=0.0)
+    _compare(cfg, B=2, T=5, H=56, W=56)
+
+
+def test_swin_golden_4stages():
+    cfg = SwinConfig(embed_dim=8, depths=(2, 2, 2, 2), num_heads=(1, 2, 4, 8),
+                     window_size=(8, 7, 7), drop_path_rate=0.0)
+    _compare(cfg, B=1, T=2, H=112, W=112, tol=5e-4)
+
+
+def test_swin_golden_odd_spatial_padding():
+    # Non-multiple-of-7 spatial dims exercise the window padding path.
+    cfg = SwinConfig(embed_dim=8, depths=(2,), num_heads=(2,),
+                     window_size=(8, 7, 7), drop_path_rate=0.0)
+    _compare(cfg, B=1, T=2, H=40, W=40)
