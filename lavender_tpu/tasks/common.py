@@ -1,0 +1,87 @@
+"""Shared task utilities: losses, pretext (task-token/prompt) handling.
+
+Reference: agent.py:72 (CrossEntropyLoss(ignore_index=-1)),
+model.py:245-306 (get_pretxt / prepro_txt_inputs), agent.py:46-65
+(NormSoftmaxLoss).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def cross_entropy_ignore(logits: Array, labels: Array,
+                         ignore_index: int = -1) -> Array:
+    """Mean token CE with ignore_index, computed in f32 (agent.py:72)."""
+    logits = logits.astype(jnp.float32)
+    flat_logits = logits.reshape(-1, logits.shape[-1])
+    flat_labels = labels.reshape(-1)
+    valid = flat_labels != ignore_index
+    safe = jnp.where(valid, flat_labels, 0)
+    logp = jax.nn.log_softmax(flat_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(valid.sum(), 1)
+    return nll.sum() / denom
+
+
+def norm_softmax_loss(sim: Array, temperature: float = 0.05) -> Array:
+    """Bidirectional InfoNCE over a similarity matrix (agent.py:46-65)."""
+    sim = sim.astype(jnp.float32) / temperature
+    i_logsm = jax.nn.log_softmax(sim, axis=1)
+    j_logsm = jax.nn.log_softmax(sim.T, axis=1)
+    loss_i = jnp.mean(jnp.diag(i_logsm))
+    loss_j = jnp.mean(jnp.diag(j_logsm))
+    return -loss_i - loss_j
+
+
+def label_smoothed_kl_loss(logits: Array, labels: Array,
+                           label_smoothing: float = 0.1,
+                           drop_worst_ratio: float = 0.0) -> Array:
+    """Captioning loss: label-smoothed KL + optional drop-worst
+    (model_for_captioning.py:10-37).  labels: [N] int; ignored where < 0."""
+    logits = logits.astype(jnp.float32)
+    n_class = logits.shape[-1]
+    eps = label_smoothing
+    valid = labels >= 0
+    safe = jnp.where(valid, labels, 0)
+    one_hot = jax.nn.one_hot(safe, n_class)
+    target = one_hot * (1 - eps) + (1 - one_hot) * eps / (n_class - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # KLDivLoss(log_prb, one_hot).sum(1) == sum target*(log target - logp);
+    # the (constant) entropy term matters for drop-worst ordering parity, so
+    # keep the full form.
+    ent = jnp.where(target > 0, target * jnp.log(target), 0.0).sum(-1)
+    loss = ent - (target * logp).sum(-1)
+    loss = jnp.where(valid, loss, 0.0)
+    if drop_worst_ratio > 0:
+        keep = int(loss.shape[0] * (1 - drop_worst_ratio))
+        loss = -jax.lax.top_k(-loss, keep)[0]
+        return loss.mean()
+    denom = jnp.maximum(valid.sum(), 1)
+    return loss.sum() / denom
+
+
+def prepend_pretxt(feat_txt: Array, mask_txt: Array,
+                   feat_pre: Optional[Array], mask_pre: Optional[Array]
+                   ) -> Tuple[Array, Array, int]:
+    """Prepend task-token/prompt features to the text stream
+    (model.py:292-306).  Returns (feat, mask, pretxt_len)."""
+    if feat_pre is None:
+        return feat_txt, mask_txt, 0
+    feat = jnp.concatenate([feat_pre.astype(feat_txt.dtype), feat_txt], axis=1)
+    mask = jnp.concatenate([mask_pre.astype(mask_txt.dtype), mask_txt], axis=1)
+    return feat, mask, feat_pre.shape[1]
+
+
+def pad_labels_for_pretxt(labels: Array, pretxt_len: int) -> Array:
+    """Extend label arrays with ignore (-1) over pretext positions."""
+    if pretxt_len == 0:
+        return labels
+    B = labels.shape[0]
+    pad = jnp.full((B, pretxt_len), -1, dtype=labels.dtype)
+    return jnp.concatenate([pad, labels], axis=1)

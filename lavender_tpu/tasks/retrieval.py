@@ -1,0 +1,156 @@
+"""Text-to-video retrieval as VTM-MLM (and the scalar-head baseline).
+
+Reference: main_retrieval_mlm.py (Dataset_Retrieval_MLM:15,
+LAVENDER_Retrieval_MLM:30, Agent_Retrieval_MLM:92) and
+main_retrieval_task_specific.py (Dataset_Retrieval_TS:13).
+
+TPU-first: the reference's per-sample Python pair loop
+(main_retrieval_mlm.py:62-84) becomes a static broadcast — ``go_feat`` runs
+once per batch, then video features are ``repeat``-ed and text features
+``tile``-d to form the B x B product before one batched fusion pass.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavender_tpu.data.dataset import TsvTaskDataset
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.tasks import common
+
+Array = jax.Array
+
+
+class RetrievalDataset(TsvTaskDataset):
+    """Retrieval dataset: one (video, caption) per row; train-time random
+    multi-caption concat (main_retrieval_task_specific.py:44-49); MLM
+    variant appends a [MASK] (main_retrieval_mlm.py:20-23)."""
+
+    def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt,
+                 mlm: bool = True, **kw):
+        super().__init__(cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw)
+        self.mlm = mlm
+        # eval uses one caption per video (main_retrieval_task_specific.py:25-30)
+        if split != "train":
+            seen, first = set(), []
+            for item in self.txt:
+                if item["video"] not in seen:
+                    seen.add(item["video"])
+                    first.append(item)
+            if len(first) < len(self.txt):
+                self.txt = first
+        self.vid2idx = {}
+        for item in self.txt:
+            self.vid2idx.setdefault(item["video"], len(self.vid2idx))
+
+    @property
+    def prompt_text(self):
+        return "is the video-text paired, true or false?"
+
+    def str2txt(self, s):
+        txt, mask = super().str2txt(s)
+        if self.mlm:
+            txt, mask = self.append_mask_tok2txt(txt, mask)
+        return txt, mask
+
+    def __getitem__(self, idx):
+        item = self.txt[idx]
+        vid = item["video"]
+        img = self.get_video(vid)
+        raw = item["caption"]
+        if isinstance(raw, list):
+            if self.split == "train":
+                ids = self.rng.sample(
+                    range(len(raw)), self.rng.randint(1, len(raw)))
+            else:
+                ids = range(len(raw))
+            raw = " ".join(raw[i] for i in ids)
+        txt, mask = self.str2txt(raw)
+        return {"img": self.pad_frames(img), "txt": txt, "mask": mask,
+                "vid": np.int32(self.vid2idx[vid])}
+
+
+def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
+                        feat_pre: Optional[Array] = None,
+                        mask_pre: Optional[Array] = None,
+                        deterministic: bool = True) -> Tuple[Array, int]:
+    """All B x B (video_i, text_j) pairs -> MLM logits on the text slice.
+
+    Returns (logits [B*B, Lp+Lt, V], pretxt_len).  Pair (i, j) lives at
+    row i*B + j, matching the reference loop order
+    (main_retrieval_mlm.py:62-79).
+    """
+    B = img.shape[0]
+    fi, mi, ft, mt = model.apply(
+        variables, img, txt, mask, deterministic=deterministic,
+        method=LavenderModel.go_feat)
+    ft, mt, lp = common.prepend_pretxt(ft, mt, feat_pre, mask_pre)
+    Lv = fi.shape[1]
+    pfi = jnp.repeat(fi, B, axis=0)
+    pmi = jnp.repeat(mi, B, axis=0)
+    pft = jnp.tile(ft, (B, 1, 1))
+    pmt = jnp.tile(mt, (B, 1))
+    out = model.apply(
+        variables, pfi, pmi, pft, pmt, deterministic=deterministic,
+        method=LavenderModel.go_cross)
+    logits = model.apply(variables, out[:, Lv:],
+                         method=LavenderModel.mlm_head)
+    return logits, lp
+
+
+def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
+    """Jitted in-batch retrieval eval (Agent_Retrieval_MLM.step eval branch,
+    main_retrieval_mlm.py:108-118): score every pair at the appended [MASK]
+    (last position), rank texts per video."""
+
+    @jax.jit
+    def step(variables, img, txt, mask, vid):
+        B = img.shape[0]
+        logits, _ = pairwise_mlm_logits(model, variables, img, txt, mask)
+        last = logits[:, -1, :].astype(jnp.float32)  # [B*B, V]
+        p_true = last[:, true_id]
+        p_false = last[:, false_id]
+        score = (p_true / (p_true + p_false)).reshape(B, B)
+        pred = jnp.argmax(score, axis=-1)
+        gt = jnp.argmax(
+            (vid[:, None] == vid[None, :]).astype(jnp.int32), axis=-1)
+        return score, (pred == gt).astype(jnp.float32)
+
+    return step
+
+
+def make_loss_fn(model: LavenderModel, true_id: int, false_id: int):
+    """Training loss (Agent_Retrieval_MLM.step train branch): CE at the
+    appended [MASK] against true/false."""
+
+    def loss_fn(params, batch, dropout_rng):
+        img, txt, mask, vid = (batch["img"], batch["txt"], batch["mask"],
+                               batch["vid"])
+        B = img.shape[0]
+        logits, _ = pairwise_mlm_logits(
+            model, {"params": params}, img, txt, mask, deterministic=False)
+        same = vid[:, None] == vid[None, :]
+        labels = jnp.where(same, true_id, false_id).reshape(-1)
+        last = logits[:, -1, :]
+        return common.cross_entropy_ignore(last, labels)
+
+    return loss_fn
+
+
+def recall_at_k(score: np.ndarray, gt: np.ndarray,
+                ks=(1, 5, 10)) -> Dict[str, float]:
+    """Full-corpus retrieval metrics (eval_retrieval_mlm.py:220-241).
+
+    score: [n_txt, n_vid] similarity; gt: [n_txt] index of the true video.
+    """
+    order = np.argsort(-score, axis=1)
+    rank = np.empty(len(gt), dtype=np.int64)
+    for i in range(len(gt)):
+        rank[i] = int(np.where(order[i] == gt[i])[0][0])
+    out = {f"R@{k}": float(np.mean(rank < k) * 100) for k in ks}
+    out["MedR"] = float(np.median(rank + 1))
+    return out
