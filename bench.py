@@ -1,0 +1,112 @@
+"""Benchmark: video->text inference throughput (Swin-Base + BERT-base).
+
+Measures end-to-end clips/sec of the flagship retrieval/VTM inference path on
+one TPU chip: uint8 frames -> on-device normalize -> Video Swin-Base ->
+EncVideo adapter -> text embed -> 12-layer fusion -> MLM head, in bfloat16.
+
+Baseline (BASELINE.md): driver target >= 5,000 clips/sec on a v4-8 (8 chips)
+== 625 clips/sec/chip.  vs_baseline = clips_per_sec / 625.
+
+Prints ONE JSON line.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--size-txt", type=int, default=25)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="debug on CPU")
+    ap.add_argument("--tiny", action="store_true", help="tiny model (debug)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from lavender_tpu.config import (
+        BertConfig, ModelConfig, SWIN_PRESETS, SwinConfig)
+    from lavender_tpu.data.transforms import device_normalize
+    from lavender_tpu.models.lavender import LavenderModel
+
+    if args.tiny:
+        swin = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                          num_heads=(2, 2, 2, 2), drop_path_rate=0.0)
+        bert = BertConfig(vocab_size=1024, hidden_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          intermediate_size=128)
+    else:
+        swin = SWIN_PRESETS["base"]
+        bert = BertConfig()
+    cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
+    model = LavenderModel(cfg, dtype=jnp.bfloat16)
+
+    B, T, S, L = args.batch, args.frames, args.size, args.size_txt + 1
+    img_u8 = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (B, T, S, S, 3), np.uint8))
+    txt = jnp.asarray(
+        np.random.RandomState(1).randint(1000, 2000, (B, L), np.int32))
+    mask = jnp.ones((B, L), jnp.int32)
+
+    img0 = device_normalize(img_u8, dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0[:1], txt[:1],
+                                    mask[:1])
+    # serving mode: bf16 weights (halves HBM traffic on the weight streams)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, variables)
+
+    iters = args.iters
+
+    @jax.jit
+    def forward_n(variables, img_u8, txt, mask):
+        """`iters` chained forwards inside ONE executable.
+
+        Each iteration perturbs the input with the previous output's mean so
+        steps can neither overlap nor be CSE'd; a single device program
+        amortizes host<->device round-trips (the TPU here sits behind a
+        relay, so per-call latency would otherwise dominate).
+        """
+
+        def body(carry, _):
+            img = device_normalize(img_u8, dtype=jnp.bfloat16)
+            img = img + (carry * 1e-6).astype(jnp.bfloat16)
+            out = model.apply(variables, img, txt, mask)
+            return out.astype(jnp.float32).mean(), None
+
+        carry, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), None, length=iters)
+        return carry
+
+    # warmup (includes compile)
+    float(forward_n(variables, img_u8, txt, mask))
+    for _ in range(args.warmup):
+        float(forward_n(variables, img_u8, txt, mask))
+
+    t0 = time.perf_counter()
+    v = float(forward_n(variables, img_u8, txt, mask))  # host fetch = sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(v)
+
+    clips_per_sec = args.batch * iters / dt
+    baseline_per_chip = 5000.0 / 8.0
+    print(json.dumps({
+        "metric": "clips/sec/chip video->text inference "
+                  "(Swin-B+BERT-base, 5x224^2, bf16)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/sec",
+        "vs_baseline": round(clips_per_sec / baseline_per_chip, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,4 @@
-"""BERT components in JAX/flax: embeddings, encoder, MLM head.
+"""BERT components in JAX/flax: embeddings, encoder (+KV-cache decode), MLM head.
 
 These re-implement the HuggingFace BERT modules the reference model borrows
 (reference: model.py:96-165 uses ``bert.embeddings``, ``bert.encoder`` and
@@ -6,13 +6,19 @@ These re-implement the HuggingFace BERT modules the reference model borrows
 the HF/torch state-dict layout (``layer_{i}/attention/self/query`` etc.) so
 checkpoint conversion (lavender_tpu/convert.py) is a mechanical key rewrite.
 
+Beyond the reference, the encoder supports **incremental decoding with a
+static KV cache** — the reference's fast caption-decode path exists but is
+disabled (``NotImplementedError`` at model_for_captioning.py:123,298); here it
+is first-class: ``prefill`` encodes the video prefix once and returns per-layer
+K/V caches, ``decode_step`` extends them by n positions under ``lax.scan``.
+
 TPU notes: attention runs as batched einsum matmuls (MXU-friendly), additive
-masks are pre-broadcast ``[B, 1, Lq, Lk]`` float tensors built at trace time,
-softmax accumulates in f32 even when compute dtype is bf16.
+masks are pre-broadcast float tensors built at trace time, softmax runs in f32
+even when compute dtype is bf16, caches are fixed-size (static shapes).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +27,7 @@ from flax import linen as nn
 from lavender_tpu.config import BertConfig
 
 Array = jax.Array
+KVCache = Tuple[Array, Array]  # k, v: [B, nH, Lcache, hd]
 
 
 def extended_attention_mask(mask: Array, dtype=jnp.float32) -> Array:
@@ -75,23 +82,24 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, attn_bias: Array,
-                 deterministic: bool = True) -> Array:
+    def setup(self):
+        H = self.config.hidden_size
+        self.query = nn.Dense(H, dtype=self.dtype, name="query")
+        self.key = nn.Dense(H, dtype=self.dtype, name="key")
+        self.value = nn.Dense(H, dtype=self.dtype, name="value")
+
+    def _heads(self, t: Array) -> Array:
+        B, L, _ = t.shape
         cfg = self.config
-        B, L, H = x.shape
-        nH, hd = cfg.num_attention_heads, cfg.head_dim
+        return t.reshape(B, L, cfg.num_attention_heads,
+                         cfg.head_dim).transpose(0, 2, 1, 3)
 
-        def split_heads(t):
-            return t.reshape(B, L, nH, hd).transpose(0, 2, 1, 3)
-
-        q = split_heads(nn.Dense(H, dtype=self.dtype, name="query")(x))
-        k = split_heads(nn.Dense(H, dtype=self.dtype, name="key")(x))
-        v = split_heads(nn.Dense(H, dtype=self.dtype, name="value")(x))
-
+    def _attend(self, q: Array, k: Array, v: Array, attn_bias: Array,
+                deterministic: bool) -> Array:
+        cfg = self.config
         attn = jnp.einsum("bhld,bhmd->bhlm", q, k,
                           preferred_element_type=jnp.float32)
-        attn = attn / jnp.sqrt(hd).astype(attn.dtype)
+        attn = attn / jnp.sqrt(cfg.head_dim).astype(attn.dtype)
         attn = attn + attn_bias.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         if not deterministic and cfg.attention_probs_dropout_prob > 0:
@@ -99,73 +107,156 @@ class BertSelfAttention(nn.Module):
                 attn, deterministic=False)
         out = jnp.einsum("bhlm,bhmd->bhld", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, H)
-        return out
+        B, _, L, _ = out.shape
+        return out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
+
+    def __call__(self, x: Array, attn_bias: Array,
+                 deterministic: bool = True) -> Array:
+        q = self._heads(self.query(x))
+        k = self._heads(self.key(x))
+        v = self._heads(self.value(x))
+        return self._attend(q, k, v, attn_bias, deterministic)
+
+    def kv(self, x: Array) -> KVCache:
+        """K/V for cache prefill."""
+        return self._heads(self.key(x)), self._heads(self.value(x))
+
+    def decode_step(self, x_new: Array, cache: KVCache, slot: Array,
+                    attn_bias: Array) -> Tuple[Array, KVCache]:
+        """Extend the cache with x_new (written at ``slot``) and attend over
+        the full static cache.  attn_bias: [B, 1, n_new, Lcache]."""
+        q = self._heads(self.query(x_new))
+        k_new = self._heads(self.key(x_new))
+        v_new = self._heads(self.value(x_new))
+        ck, cv = cache
+        ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype),
+                                          (0, 0, slot, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype),
+                                          (0, 0, slot, 0))
+        out = self._attend(q, ck, cv, attn_bias, deterministic=True)
+        return out, (ck, cv)
 
 
 class BertSelfOutput(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.dense = nn.Dense(self.config.hidden_size, dtype=self.dtype,
+                              name="dense")
+        self.LayerNorm = nn.LayerNorm(
+            epsilon=self.config.layer_norm_eps, dtype=self.dtype,
+            name="LayerNorm")
+        self.dropout = nn.Dropout(self.config.hidden_dropout_prob)
+
     def __call__(self, x: Array, residual: Array,
                  deterministic: bool = True) -> Array:
-        cfg = self.config
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="dense")(x)
-        if not deterministic and cfg.hidden_dropout_prob > 0:
-            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                            name="LayerNorm")(x + residual)
+        x = self.dense(x)
+        if not deterministic and self.config.hidden_dropout_prob > 0:
+            x = self.dropout(x, deterministic=False)
+        return self.LayerNorm(x + residual)
 
 
 class BertAttention(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.self = BertSelfAttention(self.config, self.dtype, name="self")
+        self.output = BertSelfOutput(self.config, self.dtype, name="output")
+
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
-        h = BertSelfAttention(self.config, self.dtype, name="self")(
-            x, attn_bias, deterministic)
-        return BertSelfOutput(self.config, self.dtype, name="output")(
-            h, x, deterministic)
+        h = self.self(x, attn_bias, deterministic)
+        return self.output(h, x, deterministic)
+
+    def kv(self, x: Array) -> KVCache:
+        return self.self.kv(x)
+
+    def decode_step(self, x_new, cache, slot, attn_bias):
+        h, cache = self.self.decode_step(x_new, cache, slot, attn_bias)
+        return self.output(h, x_new, deterministic=True), cache
 
 
 class BertLayer(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.attention = BertAttention(cfg, self.dtype, name="attention")
+        self.intermediate_dense = nn.Dense(
+            cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")
+        self.output_dense = nn.Dense(
+            cfg.hidden_size, dtype=self.dtype, name="output_dense")
+        self.output_LayerNorm = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+            name="output_LayerNorm")
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def _ffn(self, x: Array, deterministic: bool) -> Array:
+        h = self.intermediate_dense(x)
+        h = nn.gelu(h, approximate=False)
+        h = self.output_dense(h)
+        if not deterministic and self.config.hidden_dropout_prob > 0:
+            h = self.dropout(h, deterministic=False)
+        return self.output_LayerNorm(h + x)
+
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
-        cfg = self.config
-        x = BertAttention(cfg, self.dtype, name="attention")(
-            x, attn_bias, deterministic)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
-                     name="intermediate_dense")(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
-        if not deterministic and cfg.hidden_dropout_prob > 0:
-            h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=False)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="output_LayerNorm")(h + x)
-        return x
+        x = self.attention(x, attn_bias, deterministic)
+        return self._ffn(x, deterministic)
+
+    def kv(self, x: Array) -> KVCache:
+        return self.attention.kv(x)
+
+    def decode_step(self, x_new, cache, slot, attn_bias):
+        h, cache = self.attention.decode_step(x_new, cache, slot, attn_bias)
+        return self._ffn(h, deterministic=True), cache
 
 
 class BertEncoder(nn.Module):
     """Stack of BertLayers (HF BertEncoder; fusion encoder ``trsfr`` in
-    model.py:163)."""
+    model.py:163).  Supports standard forward and cached incremental decode.
+    """
 
     config: BertConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            BertLayer(self.config, self.dtype, name=f"layer_{i}")
+            for i in range(self.config.num_hidden_layers)]
+
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
-        for i in range(self.config.num_hidden_layers):
-            x = BertLayer(self.config, self.dtype, name=f"layer_{i}")(
-                x, attn_bias, deterministic)
+        for layer in self.layers:
+            x = layer(x, attn_bias, deterministic)
         return x
+
+    def prefill(self, x: Array, attn_bias: Array, cache_len: int
+                ) -> Tuple[Array, List[KVCache]]:
+        """Run the prefix through the stack; return output + per-layer caches
+        sized ``cache_len`` with the prefix K/V written at slots [0, Lp)."""
+        cfg = self.config
+        B, Lp, _ = x.shape
+        caches = []
+        for layer in self.layers:
+            k, v = layer.kv(x)
+            pad = cache_len - Lp
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+            caches.append((k, v))
+            x = layer(x, attn_bias, deterministic=True)
+        return x, caches
+
+    def decode_step(self, x_new: Array, caches: List[KVCache], slot: Array,
+                    attn_bias: Array) -> Tuple[Array, List[KVCache]]:
+        new_caches = []
+        for layer, cache in zip(self.layers, caches):
+            x_new, cache = layer.decode_step(x_new, cache, slot, attn_bias)
+            new_caches.append(cache)
+        return x_new, new_caches
 
 
 class BertMLMHead(nn.Module):

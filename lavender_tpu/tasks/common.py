@@ -85,3 +85,26 @@ def pad_labels_for_pretxt(labels: Array, pretxt_len: int) -> Array:
     B = labels.shape[0]
     pad = jnp.full((B, pretxt_len), -1, dtype=labels.dtype)
     return jnp.concatenate([pad, labels], axis=1)
+
+
+def fused_mlm_logits(model, variables, img: Array, txt: Array, mask: Array,
+                     feat_pre: Optional[Array] = None,
+                     mask_pre: Optional[Array] = None,
+                     attn_mask_type: str = "full",
+                     deterministic: bool = True,
+                     rngs=None) -> Tuple[Array, int]:
+    """Shared QA/caption forward: go_feat -> (pretext) -> go_cross -> MLM
+    logits on the text slice (the pattern of main_qamc_mlm.py:124-140 /
+    main_qaoe_mlm_lsmdc_fib.py:80-94).  Returns (logits [B, Lp+Lt, V], Lp).
+    """
+    from lavender_tpu.models.lavender import LavenderModel
+    fi, mi, ft, mt = model.apply(
+        variables, img, txt, mask, attn_mask_type=attn_mask_type,
+        deterministic=deterministic, method=LavenderModel.go_feat, rngs=rngs)
+    ft, mt, lp = prepend_pretxt(ft, mt, feat_pre, mask_pre)
+    Lv = fi.shape[1]
+    out = model.apply(
+        variables, fi, mi, ft, mt, attn_mask_type=attn_mask_type,
+        deterministic=deterministic, method=LavenderModel.go_cross, rngs=rngs)
+    logits = model.apply(variables, out[:, Lv:], method=LavenderModel.mlm_head)
+    return logits, lp

@@ -1,0 +1,93 @@
+"""Retrieval-style multiple choice (LSMDC-MC): each option scored
+true/false at its own appended [MASK].
+
+Reference: main_retmc_mlm.py (Dataset_RetMC_MLM:11, LAVENDER_RetMC_MLM:71,
+Agent_RetMC_MLM:115).  The B x O option texts are flattened, video features
+are broadcast per option, and each (video, option) pair gets a VTM
+true/false prediction; eval picks the option with the highest p(true).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavender_tpu.data.dataset import TsvTaskDataset
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.tasks import common
+
+
+class RetMCDataset(TsvTaskDataset):
+    @property
+    def prompt_text(self):
+        return "is the video-text matched, true or false?"
+
+    def str2txt(self, s):
+        txt, mask = super().str2txt(s)
+        return self.append_mask_tok2txt(txt, mask)
+
+    def __getitem__(self, idx):
+        item = self.txt[idx]
+        img = self.get_video(item["video"])
+        ans_idx = int(item["answer"])
+        q = item.get("question", "")
+        txts, masks, mask_ans = [], [], []
+        for i in range(self.cfg.size_option):
+            option = (q + " " + item[f"option_{i}"]) if q else item[f"option_{i}"]
+            t, m = self.str2txt(option)
+            ma = np.full(t.shape, -1, np.int32)
+            ma[t == self.mask_token_id] = (
+                self.true_token_id if i == ans_idx else self.false_token_id)
+            txts.append(t), masks.append(m), mask_ans.append(ma)
+        return {"img": self.pad_frames(img),
+                "txt": np.stack(txts), "mask": np.stack(masks),
+                "mask_ans": np.stack(mask_ans), "ans_idx": np.int32(ans_idx)}
+
+
+def option_logits(model: LavenderModel, variables, img, txt, mask,
+                  deterministic=True, rngs=None):
+    """img [B,T,S,S,3], txt/mask [B,O,L] -> logits [B*O, L, V].
+
+    Mirrors LAVENDER_RetMC_MLM.forward (main_retmc_mlm.py:90-112): encode the
+    video once, broadcast per option.
+    """
+    B, O, L = txt.shape
+    fi, mi, ft, mt = model.apply(
+        variables, img, txt.reshape(B * O, L), mask.reshape(B * O, L),
+        deterministic=deterministic, method=LavenderModel.go_feat, rngs=rngs)
+    # go_feat encodes img at batch B; tile visual features per option
+    Lv = fi.shape[1]
+    fi = jnp.repeat(fi, O, axis=0)
+    mi = jnp.repeat(mi, O, axis=0)
+    out = model.apply(
+        variables, fi, mi, ft, mt, deterministic=deterministic,
+        method=LavenderModel.go_cross, rngs=rngs)
+    return model.apply(variables, out[:, Lv:], method=LavenderModel.mlm_head)
+
+
+def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
+    @jax.jit
+    def step(variables, img, txt, mask, mask_ans, ans_idx):
+        B, O, L = txt.shape
+        logits = option_logits(model, variables, img, txt, mask)
+        last = logits[:, -1, :].astype(jnp.float32).reshape(B, O, -1)
+        p_true = last[..., true_id]
+        p_false = last[..., false_id]
+        score = p_true / (p_true + p_false)
+        pred = jnp.argmax(score, axis=-1)
+        return score, (pred == ans_idx).astype(jnp.float32)
+
+    return step
+
+
+def make_loss_fn(model: LavenderModel):
+    def loss_fn(params, batch, dropout_rng):
+        txt = batch["txt"]
+        B, O, L = txt.shape
+        logits = option_logits(
+            model, {"params": params}, batch["img"], txt, batch["mask"],
+            deterministic=False, rngs={"dropout": dropout_rng})
+        labels = batch["mask_ans"].reshape(B * O, L)
+        return common.cross_entropy_ignore(logits, labels)
+
+    return loss_fn

@@ -77,7 +77,8 @@ class RetrievalDataset(TsvTaskDataset):
 def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
                         feat_pre: Optional[Array] = None,
                         mask_pre: Optional[Array] = None,
-                        deterministic: bool = True) -> Tuple[Array, int]:
+                        deterministic: bool = True,
+                        rngs: Optional[Dict] = None) -> Tuple[Array, int]:
     """All B x B (video_i, text_j) pairs -> MLM logits on the text slice.
 
     Returns (logits [B*B, Lp+Lt, V], pretxt_len).  Pair (i, j) lives at
@@ -87,7 +88,7 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
     B = img.shape[0]
     fi, mi, ft, mt = model.apply(
         variables, img, txt, mask, deterministic=deterministic,
-        method=LavenderModel.go_feat)
+        method=LavenderModel.go_feat, rngs=rngs)
     ft, mt, lp = common.prepend_pretxt(ft, mt, feat_pre, mask_pre)
     Lv = fi.shape[1]
     pfi = jnp.repeat(fi, B, axis=0)
@@ -96,7 +97,7 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
     pmt = jnp.tile(mt, (B, 1))
     out = model.apply(
         variables, pfi, pmi, pft, pmt, deterministic=deterministic,
-        method=LavenderModel.go_cross)
+        method=LavenderModel.go_cross, rngs=rngs)
     logits = model.apply(variables, out[:, Lv:],
                          method=LavenderModel.mlm_head)
     return logits, lp
@@ -132,7 +133,8 @@ def make_loss_fn(model: LavenderModel, true_id: int, false_id: int):
                                batch["vid"])
         B = img.shape[0]
         logits, _ = pairwise_mlm_logits(
-            model, {"params": params}, img, txt, mask, deterministic=False)
+            model, {"params": params}, img, txt, mask, deterministic=False,
+            rngs={"dropout": dropout_rng})
         same = vid[:, None] == vid[None, :]
         labels = jnp.where(same, true_id, false_id).reshape(-1)
         last = logits[:, -1, :]

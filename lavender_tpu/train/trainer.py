@@ -1,0 +1,95 @@
+"""Training step builder: pjit-sharded forward/backward/update.
+
+Replaces the reference's Agent_Base forward/backward machinery
+(agent.py:203-250: AMP autocast + GradScaler + clip + step).  On TPU the
+equivalents are: bf16 compute (no loss scaling needed — grads accumulate in
+f32), optax clipping inside the optimizer chain, and one jitted function for
+the whole step with donated state.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lavender_tpu.parallel import mesh as pmesh
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       seed: int = 88) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(seed))
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True, has_aux: bool = False) -> Callable:
+    """Build a jitted train step.
+
+    loss_fn(params, batch, dropout_rng) -> scalar loss (or (loss, aux) with
+    has_aux).  With a mesh, inputs/outputs are sharded: params/opt_state by
+    the TP rules, batch over the data axis (== DDP + ZeRO-1, SURVEY.md §2.5).
+    """
+
+    def step_fn(state: TrainState, batch: Dict) -> tuple:
+        rng, new_rng = jax.random.split(state.rng)
+        out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
+            state.params, batch, rng)
+        loss = out if not has_aux else out
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt,
+            rng=new_rng)
+        return new_state, loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def shardings_of(tree):
+        return jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, P()), tree)
+
+    # in/out shardings are inferred from input placement; constrain batch.
+    batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,) if donate else ())
+    def sharded_step(state, batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+            batch)
+        return step_fn(state, batch)
+
+    return sharded_step
+
+
+def make_eval_forward(forward_fn: Callable, mesh: Optional[Mesh] = None):
+    if mesh is None:
+        return jax.jit(forward_fn)
+    batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+
+    @jax.jit
+    def fwd(variables, *args):
+        args = tuple(
+            jax.lax.with_sharding_constraint(a, batch_sharding)
+            if hasattr(a, "ndim") and a.ndim >= 1 else a for a in args)
+        return forward_fn(variables, *args)
+
+    return fwd
