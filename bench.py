@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
+    ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"],
+                    help="window-attention implementation")
     ap.add_argument("--tiny", action="store_true", help="tiny model (debug)")
     args = ap.parse_args()
 
@@ -38,6 +40,7 @@ def main():
     from lavender_tpu.data.transforms import device_normalize
     from lavender_tpu.models.lavender import LavenderModel
 
+    import dataclasses
     if args.tiny:
         swin = SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
                           num_heads=(2, 2, 2, 2), drop_path_rate=0.0)
@@ -47,6 +50,7 @@ def main():
     else:
         swin = SWIN_PRESETS["base"]
         bert = BertConfig()
+    swin = dataclasses.replace(swin, attn_impl=args.attn)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 

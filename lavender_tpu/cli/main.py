@@ -1,0 +1,233 @@
+"""Unified CLI — replaces the reference's 17 main_*.py scripts with one
+task registry.
+
+Usage (mirrors README.md:91-215 of the reference, minus torch.distributed):
+
+    python -m lavender_tpu.cli.main --task retrieval_mlm \
+        --config _args/args_msrvtt-retrieval.json [--path_ckpt ckpt.pt ...]
+
+Task = (dataset adapter, loss fn, eval step) per SURVEY.md §7: the reference's
+per-script (Dataset_X, LAVENDER_X, Agent_X) triples become registry entries.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as op
+from datetime import datetime
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavender_tpu.config import RunConfig, load_run_config
+from lavender_tpu.data.dataset import load_task_data
+from lavender_tpu.data.loader import DataLoader
+from lavender_tpu.data.tokenizer import BertTokenizer
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.train.agent import Agent, run_finetune
+from lavender_tpu.utils.logging import LOGGER
+
+TASKS: Dict[str, Callable] = {}
+
+
+def register(name):
+    def deco(fn):
+        TASKS[name] = fn
+        return fn
+    return deco
+
+
+def _build_model(cfg: RunConfig, tok, model_cls=None, **kw):
+    import dataclasses
+    from lavender_tpu.config import BertConfig
+    bert = dataclasses.replace(cfg.model.bert, vocab_size=max(
+        cfg.model.bert.vocab_size, len(tok)))
+    mcfg = dataclasses.replace(cfg.model, bert=bert)
+    model = (model_cls or LavenderModel)(mcfg, **kw)
+    S, T, L = cfg.data.size_img, cfg.data.size_frame, cfg.data.size_txt + 1
+    img = jnp.zeros((1, T, S, S, 3), jnp.float32)
+    txt = jnp.zeros((1, L), jnp.int32)
+    init_method = getattr(model, "init_forward", None)
+    variables = jax.jit(
+        lambda r: model.init(r, img, txt, jnp.ones((1, L), jnp.int32),
+                             **({"method": init_method} if init_method
+                                else {})))(jax.random.PRNGKey(cfg.train.seed))
+    if cfg.path_ckpt and op.exists(cfg.path_ckpt):
+        from lavender_tpu.train.checkpoint import load_reference_checkpoint
+        params = load_reference_checkpoint(
+            cfg.path_ckpt, variables["params"],
+            max_size_frame=mcfg.max_size_frame,
+            max_size_patch=mcfg.max_size_patch)
+        variables = {"params": params}
+        LOGGER.info(f"loaded checkpoint {cfg.path_ckpt}")
+    return model, variables
+
+
+def _loaders(cfg: RunConfig, datasets):
+    world = jax.process_count()
+    rank = jax.process_index()
+    mk = lambda ds, sh: DataLoader(
+        ds, cfg.train.size_batch, shuffle=sh, num_workers=cfg.data.n_workers,
+        seed=cfg.train.seed, rank=rank, world=world, drop_last=sh)
+    return (mk(datasets["train"], True), mk(datasets["val"], False),
+            mk(datasets["test"], False) if "test" in datasets else None)
+
+
+@register("retrieval_mlm")
+def run_retrieval_mlm(cfg: RunConfig, tok):
+    from lavender_tpu.tasks import retrieval
+    datasets = load_task_data(cfg.data, retrieval.RetrievalDataset, tok)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok)
+    ds = datasets["val"]
+    agent = Agent(
+        cfg, model, variables,
+        loss_fn=retrieval.make_loss_fn(model, ds.true_token_id,
+                                       ds.false_token_id),
+        eval_step=_wrap_eval(retrieval.make_eval_step(
+            model, ds.true_token_id, ds.false_token_id),
+            ["img", "txt", "mask", "vid"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
+@register("qamc_mlm")
+def run_qamc_mlm(cfg: RunConfig, tok):
+    from lavender_tpu.tasks import qamc
+    datasets = load_task_data(cfg.data, qamc.QAMCDataset, tok)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok)
+    ds = datasets["val"]
+    agent = Agent(
+        cfg, model, variables, loss_fn=qamc.make_loss_fn(model),
+        eval_step=_wrap_eval(qamc.make_eval_step(model, ds.ans_tok_ids),
+                             ["img", "txt", "mask", "mask_ans", "ans_idx"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
+@register("qaoe_mlm")
+def run_qaoe_mlm(cfg: RunConfig, tok):
+    from lavender_tpu.tasks import qaoe
+    datasets = load_task_data(cfg.data, qaoe.QAOEDataset, tok)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok)
+    agent = Agent(
+        cfg, model, variables, loss_fn=qaoe.make_loss_fn(model),
+        eval_step=_wrap_eval(qaoe.make_eval_step(model),
+                             ["img", "txt", "mask", "mask_ans"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
+@register("retmc_mlm")
+def run_retmc_mlm(cfg: RunConfig, tok):
+    from lavender_tpu.tasks import retmc
+    datasets = load_task_data(cfg.data, retmc.RetMCDataset, tok)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok)
+    ds = datasets["val"]
+    agent = Agent(
+        cfg, model, variables,
+        loss_fn=retmc.make_loss_fn(model),
+        eval_step=_wrap_eval(retmc.make_eval_step(
+            model, ds.true_token_id, ds.false_token_id),
+            ["img", "txt", "mask", "mask_ans", "ans_idx"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
+@register("caption")
+def run_caption(cfg: RunConfig, tok):
+    from lavender_tpu.models import captioning as cap
+    from lavender_tpu.tasks import retrieval
+    datasets = load_task_data(cfg.data, retrieval.RetrievalDataset, tok,
+                              mlm=False)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok)
+
+    def train_prep(batch):
+        masked, ans = cap.caption_masking(
+            batch["txt"], tok.pad_token_id, tok.mask_token_id,
+            p_mask=cfg.train.p_mask)
+        batch = dict(batch)
+        batch["txt"] = masked
+        batch["ans_mtm"] = ans
+        return batch
+
+    agent = Agent(
+        cfg, model, variables,
+        loss_fn=cap.make_caption_loss_fn(
+            model, label_smoothing=cfg.train.label_smoothing),
+        train_prep=train_prep)
+    generate = cap.make_generate_fn(
+        model, tok.cls_token_id, tok.sep_token_id, tok.pad_token_id,
+        tok.mask_token_id)
+
+    def eval_captions(dl):
+        from lavender_tpu.utils.metrics import coco_caption_metrics
+        cands, refs = {}, {}
+        for batch in dl:
+            img = agent.batch_to_device(batch)["img"]
+            ids, _ = generate({"params": agent.state.params}, img,
+                              jax.random.PRNGKey(0))
+            for key, row in zip(batch["vid"], np.asarray(ids)):
+                cands[str(key)] = tok.decode(row.tolist())
+        for item in dl.dataset.txt:
+            refs.setdefault(str(item["video"]), []).append(
+                item["caption"] if isinstance(item["caption"], str)
+                else " ".join(item["caption"]))
+        cands = {k: v for k, v in cands.items() if k in refs}
+        return coco_caption_metrics(cands, refs)
+
+    agent.save_training_meta()
+    for e in range(cfg.train.size_epoch):
+        ls = agent.train_epoch(e + 1, dl_tr)
+        metrics = eval_captions(dl_vl)
+        agent.log["ls_tr"].append(ls)
+        agent.log["metrics_vl"].append(metrics)
+        agent.save_model(e + 1)
+        agent.logger.info(f"Ep {e + 1}: loss {ls:.4f} {metrics}")
+    return dict(agent.log)
+
+
+def _wrap_eval(step, keys):
+    def eval_step(variables, batch):
+        return step(variables, *[batch[k] for k in keys])
+    return eval_step
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", required=True, choices=sorted(TASKS))
+    ap.add_argument("--config", required=True,
+                    help="JSON config (reference _args/*.json key names)")
+    ap.add_argument("--path_ckpt", default=None)
+    ap.add_argument("--path_output", default=None)
+    ap.add_argument("--vocab", default=None, help="WordPiece vocab.txt")
+    args = ap.parse_args(argv)
+
+    cfg = load_run_config(args.config)
+    if args.path_ckpt:
+        cfg.path_ckpt = args.path_ckpt
+    if args.path_output:
+        cfg.path_output = args.path_output
+    if args.vocab:
+        cfg.data.vocab_path = args.vocab
+    cfg.path_output = "%s/_%s_%s" % (
+        cfg.path_output, cfg.data.task or args.task,
+        datetime.now().strftime("%Y%m%d%H%M%S"))
+
+    tok = BertTokenizer(cfg.data.vocab_path)
+    return TASKS[args.task](cfg, tok)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,9 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     layer_norm_eps: float = 1e-5
+    # window-attention implementation: "xla" (einsum) or "pallas" (fused
+    # VMEM kernel, lavender_tpu/ops/window_attention.py)
+    attn_impl: str = "xla"
 
     @property
     def num_features(self) -> int:
@@ -183,8 +186,18 @@ def load_run_config(path_or_dict) -> RunConfig:
     size_img = int(raw.get("size_img", 224))
     preset = "large_384" if (size == "large" and size_img == 384) else size
     swin = SWIN_PRESETS.get(preset, SWIN_PRESETS["base"])
+    # explicit dims override the preset (debug/small configs)
+    if "swin" in raw:
+        swin = dataclasses.replace(
+            swin, **{k: _coerce(v, None) if not isinstance(v, list)
+                     else tuple(v) for k, v in raw["swin"].items()})
+    bert = BertConfig()
+    if "bert" in raw:
+        bert = dataclasses.replace(
+            bert, **{k: v for k, v in raw["bert"].items()})
     model = ModelConfig(
         swin=swin,
+        bert=bert,
         max_size_frame=int(raw.get("max_size_frame", 6)),
         max_size_patch=int(raw.get("max_size_patch", 14)),
         enable_task_token=bool(raw.get("enable_task_token", False)),

@@ -40,6 +40,10 @@ _REWRITES = (
     (re.compile(r"predictions/transform/dense/"), r"transform_dense/"),
     (re.compile(r"predictions/transform/LayerNorm/"), r"transform_LayerNorm/"),
     (re.compile(r"predictions/decoder/"), r"decoder/"),
+    # task-specific nn.Sequential heads: fc.1 / fc.3 (Dropout,Linear,ReLU,
+    # Linear) -> fc/fc1, fc/fc2 (see models/heads.py MLPHead)
+    (re.compile(r"(^|/)(fc[\w]*)_1/"), r"\1\2/fc1/"),
+    (re.compile(r"(^|/)(fc[\w]*)_3/"), r"\1\2/fc2/"),
 )
 
 

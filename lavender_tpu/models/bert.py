@@ -87,6 +87,8 @@ class BertSelfAttention(nn.Module):
         self.query = nn.Dense(H, dtype=self.dtype, name="query")
         self.key = nn.Dense(H, dtype=self.dtype, name="key")
         self.value = nn.Dense(H, dtype=self.dtype, name="value")
+        self.attn_dropout = nn.Dropout(
+            self.config.attention_probs_dropout_prob)
 
     def _heads(self, t: Array) -> Array:
         B, L, _ = t.shape
@@ -103,8 +105,7 @@ class BertSelfAttention(nn.Module):
         attn = attn + attn_bias.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         if not deterministic and cfg.attention_probs_dropout_prob > 0:
-            attn = nn.Dropout(cfg.attention_probs_dropout_prob)(
-                attn, deterministic=False)
+            attn = self.attn_dropout(attn, deterministic=False)
         out = jnp.einsum("bhlm,bhmd->bhld", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         B, _, L, _ = out.shape

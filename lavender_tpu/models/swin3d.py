@@ -154,6 +154,7 @@ class WindowAttention3D(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    attn_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -169,9 +170,6 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(B_, N, 3, nH, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nH, N, hd]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -180,18 +178,26 @@ class WindowAttention3D(nn.Module):
         rpi = relative_position_index(tuple(self.window_size))[:N, :N]
         bias = table[rpi.reshape(-1)].reshape(N, N, nH)
         bias = bias.transpose(2, 0, 1)  # [nH, N, N]
-        attn = attn + bias[None].astype(attn.dtype)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, nH, N, N)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(B_, nH, N, N)
-
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                       preferred_element_type=jnp.float32).astype(self.dtype)
-        x = x.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        if self.attn_impl == "pallas":
+            from lavender_tpu.ops.window_attention import (
+                fused_window_attention)
+            out = fused_window_attention(q, k, v, bias, mask, scale)
+            x = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.reshape(B_ // nW, nW, nH, N, N)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(B_, nH, N, N)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            x = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                           preferred_element_type=jnp.float32
+                           ).astype(self.dtype)
+            x = x.transpose(0, 2, 1, 3).reshape(B_, N, C)
         x = nn.Dense(C, dtype=self.dtype, name="proj")(x)
         return x
 
@@ -210,6 +216,7 @@ class SwinBlock3D(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     drop_path_rate: float = 0.0
+    attn_impl: str = "xla"
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
 
@@ -224,7 +231,8 @@ class SwinBlock3D(nn.Module):
         attn = WindowAttention3D(
             dim=self.dim, window_size=tuple(self.window_size),
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, dtype=self.dtype, name="attn")
+            qk_scale=self.qk_scale, attn_impl=self.attn_impl,
+            dtype=self.dtype, name="attn")
         norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name="norm2")
         mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
@@ -311,6 +319,7 @@ class BasicLayer(nn.Module):
     qk_scale: Optional[float] = None
     drop_path_rates: Tuple[float, ...] = ()
     has_downsample: bool = False
+    attn_impl: str = "xla"
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
 
@@ -326,6 +335,7 @@ class BasicLayer(nn.Module):
                 qk_scale=self.qk_scale,
                 drop_path_rate=(self.drop_path_rates[i]
                                 if self.drop_path_rates else 0.0),
+                attn_impl=self.attn_impl,
                 layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
                 name=f"blocks_{i}")(x, deterministic=deterministic)
         if self.has_downsample:
@@ -400,6 +410,7 @@ class VideoSwin3D(nn.Module):
                 qk_scale=cfg.qk_scale,
                 drop_path_rates=tuple(dpr[start:start + cfg.depths[i]]),
                 has_downsample=i < num_layers - 1,
+                attn_impl=cfg.attn_impl,
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
                 name=f"layers_{i}")(x, deterministic=deterministic)

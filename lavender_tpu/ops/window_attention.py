@@ -1,0 +1,147 @@
+"""Fused window attention — Pallas TPU kernel for Video Swin's hot loop.
+
+Reference hot loop: WindowAttention3D (video_swin.py:145-170) — per window:
+scores = q k^T * scale + rel-pos-bias (+ shift mask), softmax, @ v.
+
+Why a kernel: the XLA path materializes the [W*nH, N, N] attention tensor in
+HBM twice per block (f32).  For Swin-B stage 1 at batch 16 that is ~1 GB of
+traffic per block — the measured bottleneck (~93 ms/fwd).  This kernel keeps
+scores in VMEM: one grid step = one (window, head), everything fits easily
+(N <= 392 for window (8,7,7), <= 1152 for (8,12,12)).
+
+Backward uses a recompute strategy expressed in pure JAX (windows are tiny,
+so recompute is cheap and XLA fuses it reasonably); forward inference — the
+serving path — gets the full fused win.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def window_attention_reference(q: Array, k: Array, v: Array, bias: Array,
+                               mask: Optional[Array] = None,
+                               scale: Optional[float] = None) -> Array:
+    """Pure-JAX oracle. q/k/v: [W, nH, N, hd]; bias: [nH, N, N];
+    mask: [nW, N, N] or None (W must be a multiple of nW)."""
+    W, nH, N, hd = q.shape
+    scale = scale or hd ** -0.5
+    attn = jnp.einsum("whnd,whmd->whnm", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = attn + bias[None].astype(attn.dtype)
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(W // nW, nW, nH, N, N)
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(W, nH, N, N)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.einsum("whnm,whmd->whnd", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                 scale: float, has_mask: bool):
+    q = q_ref[0, 0].astype(jnp.float32)  # [N, hd]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [N, N]
+    s = s + bias_ref[0].astype(jnp.float32)
+    if has_mask:
+        s = s + mask_ref[0].astype(jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+
+
+def _fused_forward(q: Array, k: Array, v: Array, bias: Array,
+                   mask: Optional[Array], scale: float) -> Array:
+    W, nH, N, hd = q.shape
+    has_mask = mask is not None
+    if not has_mask:
+        mask = jnp.zeros((1, N, N), q.dtype)  # dummy (not read)
+    nW = mask.shape[0]
+
+    qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda w, h: (w, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(W, nH),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, N, N), lambda w, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda w, h: (w % nW, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, N, hd), lambda w, h: (w, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_attn_kernel, scale=scale, has_mask=has_mask)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W, nH, N, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * W * nH * N * N * hd,
+            bytes_accessed=(3 * W * nH * N * hd + W * nH * N * hd) * 2
+            + nH * N * N * 4,
+            transcendentals=W * nH * N * N),
+    )(q, k, v, bias, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_window_attention(q: Array, k: Array, v: Array, bias: Array,
+                           mask: Optional[Array], scale: float) -> Array:
+    """softmax(q k^T * scale + bias (+ mask)) v, fused in VMEM.
+
+    q/k/v: [W, nH, N, hd]; bias: [nH, N, N] (rel-pos); mask: [nW, N, N]|None.
+    """
+    return _fused_forward(q, k, v, bias, mask, scale)
+
+
+def _fwd(q, k, v, bias, mask, scale):
+    out = _fused_forward(q, k, v, bias, mask, scale)
+    return out, (q, k, v, bias, mask)
+
+
+def _bwd(scale, res, g):
+    q, k, v, bias, mask = res
+    W, nH, N, hd = q.shape
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("whnd,whmd->whnm", qf * scale, kf)
+    s = s + bias[None].astype(jnp.float32)
+    if mask is not None:
+        nW = mask.shape[0]
+        s = (s.reshape(W // nW, nW, nH, N, N)
+             + mask[None, :, None].astype(jnp.float32)).reshape(W, nH, N, N)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("whnm,whnd->whmd", p, gf)
+    dp = jnp.einsum("whnd,whmd->whnm", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("whnm,whmd->whnd", ds, kf) * scale
+    dk = jnp.einsum("whnm,whnd->whmd", ds, qf * scale)
+    dbias = ds.sum(axis=0)
+    dmask = None
+    if mask is not None:
+        nW = mask.shape[0]
+        dmask = ds.reshape(W // nW, nW, nH, N, N).sum(axis=(0, 2))
+        dmask = dmask.astype(mask.dtype)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias.astype(bias.dtype), dmask)
+
+
+fused_window_attention.defvjp(_fwd, _bwd)

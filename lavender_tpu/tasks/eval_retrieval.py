@@ -1,0 +1,174 @@
+"""Two-phase full-corpus retrieval evaluation.
+
+Reference: eval_retrieval_mlm.py (feat phase :152-183, Dataset_Product
+:76-113, cross phase :195-218, metrics :220-241) and
+eval_retrieval_task_specific.py (multi-clip sampling :24-58).
+
+Phase 'feat' encodes every clip (multi-clip mean-pool) and every text once;
+phase 'cross' scores all (text, video) pairs through the fusion encoder at
+the appended [MASK].  Both phases are single jitted functions; the pair
+product is batched host-side.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavender_tpu.data import transforms as TF
+from lavender_tpu.data.dataset import TsvTaskDataset
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.tasks.retrieval import recall_at_k
+
+Array = jax.Array
+
+
+class RetrievalEvalDataset(TsvTaskDataset):
+    """Eval dataset: all (text, video) with multi-clip frame sampling.
+
+    Reference: Dataset_RetrievalMlmEval (eval_retrieval_mlm.py:50-73) +
+    get_clips_with_temporal_sampling (eval_retrieval_task_specific.py:24-58).
+    """
+
+    def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt,
+                 multi_clip: bool = False, max_clips: int = 4, **kw):
+        super().__init__(cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw)
+        self.multi_clip = multi_clip
+        self.max_clips = max_clips
+        self.gt_txt2vid = {i: item["video"] for i, item in enumerate(self.txt)}
+
+    def str2txt(self, s):
+        txt, mask = super().str2txt(s)
+        return self.append_mask_tok2txt(txt, mask)
+
+    @property
+    def prompt_text(self):
+        return "is the video-text paired, true or false?"
+
+    def get_clips(self, video_id) -> np.ndarray:
+        """uint8 [Clips, T, S, S, 3]."""
+        row = self._tsv.seek_offset(self.id2lineidx[video_id])
+        bufs = row[2:]
+        if self.multi_clip:
+            idx_sets = TF.multi_clip_indices(
+                len(bufs), self.size_frame, self.max_clips)
+        else:
+            idx_sets = [TF.temporal_sample_indices(
+                len(bufs), self.size_frame, False)]
+        clips = []
+        decoded = {}
+        for idxs in idx_sets:
+            frames = []
+            for i in idxs:
+                if i not in decoded:
+                    decoded[i] = TF.str2img(bufs[i])
+                frames.append(decoded[i])
+            clip = TF.transform_clip(
+                frames, self.cfg.size_img, self._eval_transform(), False)
+            clips.append(self.pad_frames(clip))
+        # pad clip count so batch shapes stay static
+        while self.multi_clip and len(clips) < self.max_clips:
+            clips.append(clips[-1])
+        return np.stack(clips, axis=0)
+
+    def __getitem__(self, idx):
+        item = self.txt[idx]
+        raw = item["caption"]
+        if isinstance(raw, list):
+            raw = " ".join(raw)
+        txt, mask = self.str2txt(raw)
+        return {"img": self.get_clips(item["video"]), "txt": txt,
+                "mask": mask, "tid": idx, "vid": item["video"]}
+
+
+def make_feat_fn(model: LavenderModel):
+    """Phase 'feat': encode clips (mean-pooled) + text
+    (LAVENDER_RetrievalMlmEval.forward typ='feat',
+    eval_retrieval_mlm.py:21-37)."""
+
+    @jax.jit
+    def feat_fn(variables, img, txt, mask):
+        B, C, T, S, _, _ = img.shape
+        fi, mi, ft, mt = model.apply(
+            variables, img.reshape(B * C, T, S, S, 3), txt, mask,
+            method=LavenderModel.go_feat)
+        H = fi.shape[-1]
+        fi = fi.reshape(B, C, -1, H).mean(axis=1)
+        mi = mi.reshape(B, C, -1)[:, 0]
+        return fi, mi, ft, mt
+
+    return feat_fn
+
+
+def make_cross_fn(model: LavenderModel, true_id: int, false_id: int,
+                  mask_pos: int = -1):
+    """Phase 'cross': fuse cached features, score p_true/(p_true+p_false) at
+    the appended [MASK] (eval_retrieval_mlm.py:39-47, 199-206)."""
+
+    @jax.jit
+    def cross_fn(variables, feat_img, mask_img, feat_txt, mask_txt):
+        Lv = feat_img.shape[1]
+        out = model.apply(
+            variables, feat_img, mask_img, feat_txt, mask_txt,
+            method=LavenderModel.go_cross)
+        logits = model.apply(variables, out[:, Lv + mask_pos if mask_pos >= 0
+                                            else Lv:],
+                             method=LavenderModel.mlm_head)
+        last = logits[:, -1, :].astype(jnp.float32)
+        p_true, p_false = last[:, true_id], last[:, false_id]
+        return p_true / (p_true + p_false)
+
+    return cross_fn
+
+
+def full_retrieval_eval(model: LavenderModel, variables,
+                        dataset: RetrievalEvalDataset,
+                        batch_size: int = 16,
+                        pair_batch: int = 64,
+                        loader=None) -> Dict[str, float]:
+    """Run both phases and compute R@1/5/10 + MedR
+    (eval_retrieval_mlm.py:138-241)."""
+    from lavender_tpu.data.loader import DataLoader
+    feat_fn = make_feat_fn(model)
+    cross_fn = make_cross_fn(
+        model, dataset.true_token_id, dataset.false_token_id)
+    dl = loader or DataLoader(dataset, batch_size, shuffle=False,
+                              num_workers=4)
+
+    featv: Dict[str, Dict] = {}
+    featt: Dict[int, Dict] = {}
+    for batch in dl:
+        img = jnp.asarray(batch["img"], jnp.float32)
+        img = TF.device_normalize(jnp.asarray(batch["img"]))
+        fi, mi, ft, mt = feat_fn(variables, img, jnp.asarray(batch["txt"]),
+                                 jnp.asarray(batch["mask"]))
+        fi, mi = np.asarray(fi), np.asarray(mi)
+        ft, mt = np.asarray(ft), np.asarray(mt)
+        for i, (tid, vid) in enumerate(zip(batch["tid"], batch["vid"])):
+            if vid not in featv:
+                featv[vid] = {"feat_img": fi[i], "mask_img": mi[i]}
+            featt[int(tid)] = {"feat_txt": ft[i], "mask_txt": mt[i]}
+
+    vids = list(featv.keys())
+    vid2idx = {v: i for i, v in enumerate(vids)}
+    tids = sorted(featt.keys())
+    n_t, n_v = len(tids), len(vids)
+
+    pairs = [(t, v) for t in tids for v in vids]
+    score = np.zeros((n_t, n_v), np.float32)
+    for start in range(0, len(pairs), pair_batch):
+        chunk = pairs[start:start + pair_batch]
+        pad = pair_batch - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        fi = jnp.asarray(np.stack([featv[v]["feat_img"] for _, v in chunk_p]))
+        mi = jnp.asarray(np.stack([featv[v]["mask_img"] for _, v in chunk_p]))
+        ft = jnp.asarray(np.stack([featt[t]["feat_txt"] for t, _ in chunk_p]))
+        mt = jnp.asarray(np.stack([featt[t]["mask_txt"] for t, _ in chunk_p]))
+        s = np.asarray(cross_fn(variables, fi, mi, ft, mt))
+        for (t, v), sc in zip(chunk, s[:len(chunk)]):
+            score[tids.index(t), vid2idx[v]] = sc
+
+    gt = np.asarray([vid2idx[dataset.gt_txt2vid[t]] for t in tids])
+    return recall_at_k(score, gt)

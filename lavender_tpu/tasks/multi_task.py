@@ -1,0 +1,53 @@
+"""Unified multi-task finetuning: one model, per-step task dispatch.
+
+Reference: main_multi_task_mlm.py (get_meta_dataloaders:18-75,
+LAVENDER_Multi_Task.forward dispatch:82-103, Agent_Multi_Task:228-486) and
+main_multi_task_multi_head.py (per-task fc_<task> heads:81-109).
+
+TPU-first: each task has its own jitted step (a static dispatch table), and
+the MetaLoader samples tasks from a shared seeded RNG — all hosts agree with
+zero communication (see data/loader.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+
+from lavender_tpu.models.captioning import make_caption_loss_fn
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.tasks import qamc, qaoe, retmc, retrieval
+
+
+def build_multi_task_losses(model: LavenderModel, true_id: int,
+                            false_id: int,
+                            label_smoothing: float = 0.1) -> Dict[str, Callable]:
+    """Loss-fn table keyed by task kind (LAVENDER_Multi_Task.forward
+    dispatch, main_multi_task_mlm.py:82-103)."""
+    return {
+        "retrieval": retrieval.make_loss_fn(model, true_id, false_id),
+        "qamc": qamc.make_loss_fn(model),
+        "qaoe": qaoe.make_loss_fn(model),
+        "retmc": retmc.make_loss_fn(model),
+        "captioning": make_caption_loss_fn(model, label_smoothing),
+    }
+
+
+def build_multi_task_evals(model: LavenderModel, true_id: int, false_id: int,
+                           ans_tok_ids=None) -> Dict[str, Callable]:
+    evals = {
+        "retrieval": retrieval.make_eval_step(model, true_id, false_id),
+        "qaoe": qaoe.make_eval_step(model),
+        "retmc": retmc.make_eval_step(model, true_id, false_id),
+    }
+    if ans_tok_ids is not None:
+        evals["qamc"] = qamc.make_eval_step(model, ans_tok_ids)
+    return evals
+
+
+def make_multi_task_train_steps(losses: Dict[str, Callable], tx,
+                                mesh=None) -> Dict[str, Callable]:
+    """One jitted train step per task (static shapes per task)."""
+    from lavender_tpu.train.trainer import make_train_step
+    return {name: make_train_step(fn, tx, mesh=mesh, donate=False)
+            for name, fn in losses.items()}

@@ -1,0 +1,209 @@
+"""Task-specific-head baselines (the reference's *_task_specific family).
+
+Reference: main_retrieval_task_specific.py (LAVENDER_Retrieval_TS:67-107 +
+NormSoftmaxLoss agent), main_qamc_task_specific.py (LAVENDER_QAMC_TS:67-95),
+main_qaoe_task_specific.py, main_retmc_task_specific.py
+(LAVENDER_RetMC_TS:40-66), main_pretrain_task_specific.py
+(LAVENDER_Pretrain:124-180).
+
+Each variant adds a 2-layer MLP head ``fc`` over the fused text-CLS position
+``out[:, Lv]`` instead of the unified MLM head.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lavender_tpu.models.heads import MLPHead
+from lavender_tpu.models.lavender import LavenderModel
+from lavender_tpu.tasks import common
+
+Array = jax.Array
+
+
+class LavenderTS(LavenderModel):
+    """LavenderModel + task-specific MLP head ``fc``.
+
+    head_out: 1 for retrieval/retmc/pretrain-VTM, size_option for QAMC,
+    size_vocab for QAOE.
+    """
+
+    head_out: int = 1
+
+    def setup(self):
+        super().setup()
+        self.fc = MLPHead(self.config.hidden_size, self.head_out,
+                          dtype=self.dtype, name="fc")
+
+    def init_forward(self, img: Array, txt: Array, mask: Array) -> Array:
+        """Init-time forward touching BOTH heads (flax creates params
+        lazily, so ``model.init(..., method=LavenderTS.init_forward)``)."""
+        logits = LavenderModel.__call__(self, img, txt, mask)
+        _ = self.fc(jnp.zeros((1, self.config.hidden_size), self.dtype))
+        return logits
+
+    def cls_head(self, img: Array, txt: Array, mask: Array,
+                 deterministic: bool = True) -> Array:
+        """Fused forward -> head on the first text position (text CLS)."""
+        B, T, H, W, _ = img.shape
+        h, w = H // 32, W // 32
+        fi, mi, ft, mt = self.go_feat(
+            img, txt, mask, deterministic=deterministic)
+        out = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        return self.fc(out[:, (1 + h * w) * T],
+                       deterministic=deterministic)
+
+
+def retrieval_ts_scores(model: LavenderTS, variables, img, txt, mask,
+                        temp: float = 1.0, deterministic=True, rngs=None):
+    """B x B scalar match matrix (LAVENDER_Retrieval_TS.forward:77-104)."""
+    B = img.shape[0]
+    fi, mi, ft, mt = model.apply(
+        variables, img, txt, mask, deterministic=deterministic,
+        method=LavenderModel.go_feat, rngs=rngs)
+    Lv = fi.shape[1]
+    pfi = jnp.repeat(fi, B, axis=0)
+    pmi = jnp.repeat(mi, B, axis=0)
+    pft = jnp.tile(ft, (B, 1, 1))
+    pmt = jnp.tile(mt, (B, 1))
+    out = model.apply(
+        variables, pfi, pmi, pft, pmt, deterministic=deterministic,
+        method=LavenderModel.go_cross, rngs=rngs)
+    score = model.apply(
+        variables, out[:, Lv], deterministic,
+        method=lambda m, x, d: m.fc(x, deterministic=d), rngs=rngs)
+    return score.reshape(B, B) / temp
+
+
+def make_retrieval_ts_loss(model: LavenderTS, temp: float):
+    """NormSoftmax InfoNCE over the B x B matrix (agent.py:46-65)."""
+
+    def loss_fn(params, batch, dropout_rng):
+        score = retrieval_ts_scores(
+            model, {"params": params}, batch["img"], batch["txt"],
+            batch["mask"], deterministic=False,
+            rngs={"dropout": dropout_rng})
+        return common.norm_softmax_loss(score, temp)
+
+    return loss_fn
+
+
+def make_retrieval_ts_eval(model: LavenderTS):
+    @jax.jit
+    def step(variables, img, txt, mask, vid):
+        score = retrieval_ts_scores(model, variables, img, txt, mask)
+        pred = jnp.argmax(score, axis=-1)
+        gt = jnp.argmax((vid[:, None] == vid[None, :]).astype(jnp.int32),
+                        axis=-1)
+        return score, (pred == gt).astype(jnp.float32)
+
+    return step
+
+
+def make_cls_eval(model: LavenderTS):
+    """QAMC/QAOE-style classification eval (argmax over head logits)."""
+
+    @jax.jit
+    def step(variables, img, txt, mask, ans):
+        logits = model.apply(variables, img, txt, mask,
+                             method=LavenderTS.cls_head)
+        pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+        return logits, (pred == ans).astype(jnp.float32)
+
+    return step
+
+
+def make_cls_loss(model: LavenderTS):
+    def loss_fn(params, batch, dropout_rng):
+        logits = model.apply(
+            {"params": params}, batch["img"], batch["txt"], batch["mask"],
+            deterministic=False, rngs={"dropout": dropout_rng},
+            method=LavenderTS.cls_head)
+        return common.cross_entropy_ignore(logits, batch["ans"])
+
+    return loss_fn
+
+
+def retmc_ts_scores(model: LavenderTS, variables, img, txt, mask,
+                    deterministic=True, rngs=None):
+    """Per-option scalar scores (LAVENDER_RetMC_TS.forward:49-66)."""
+    B, O, L = txt.shape
+    fi, mi, ft, mt = model.apply(
+        variables, img, txt.reshape(B * O, L), mask.reshape(B * O, L),
+        deterministic=deterministic, method=LavenderModel.go_feat, rngs=rngs)
+    Lv = fi.shape[1]
+    fi = jnp.repeat(fi, O, axis=0)
+    mi = jnp.repeat(mi, O, axis=0)
+    out = model.apply(
+        variables, fi, mi, ft, mt, deterministic=deterministic,
+        method=LavenderModel.go_cross, rngs=rngs)
+    score = model.apply(
+        variables, out[:, Lv], deterministic,
+        method=lambda m, x, d: m.fc(x, deterministic=d), rngs=rngs)
+    return score.reshape(B, O)
+
+
+def make_retmc_ts_eval(model: LavenderTS):
+    @jax.jit
+    def step(variables, img, txt, mask, ans):
+        score = retmc_ts_scores(model, variables, img, txt, mask)
+        pred = jnp.argmax(score, axis=-1)
+        return score, (pred == ans).astype(jnp.float32)
+
+    return step
+
+
+def make_retmc_ts_loss(model: LavenderTS):
+    def loss_fn(params, batch, dropout_rng):
+        score = retmc_ts_scores(
+            model, {"params": params}, batch["img"], batch["txt"],
+            batch["mask"], deterministic=False,
+            rngs={"dropout": dropout_rng})
+        return common.cross_entropy_ignore(score, batch["ans"])
+
+    return loss_fn
+
+
+def make_pretrain_ts_loss(model: LavenderTS, temp: float = 1.0,
+                          vtm_batch: int = 4):
+    """MLM (unified head) + scalar-VTM over 1 pos + O-1 negs
+    (LAVENDER_Pretrain.forward, main_pretrain_task_specific.py:138-180)."""
+    from lavender_tpu.tasks.pretrain import sample_negatives
+
+    def loss_fn(params, batch, dropout_rng):
+        variables = {"params": params}
+        img, txt, mask = batch["img"], batch["txt"], batch["mask"]
+        ans_mtm = batch["ans_mtm"]
+        B = img.shape[0]
+        O = min(B, vtm_batch)
+        neg_key, drop_key = jax.random.split(dropout_rng)
+        rngs = {"dropout": drop_key}
+        fi, mi, ft, mt = model.apply(
+            variables, img, txt, mask, deterministic=False,
+            method=LavenderModel.go_feat, rngs=rngs)
+        Lv = fi.shape[1]
+        out = model.apply(variables, fi, mi, ft, mt, deterministic=False,
+                          method=LavenderModel.go_cross, rngs=rngs)
+        out_mtm = model.apply(variables, out[:, Lv:],
+                              method=LavenderModel.mlm_head)
+        ls_mtm = common.cross_entropy_ignore(out_mtm, ans_mtm)
+
+        neg_idx = sample_negatives(neg_key, B, O - 1)
+        pair_idx = jnp.concatenate(
+            [jnp.arange(B, dtype=neg_idx.dtype)[:, None], neg_idx], axis=1)
+        flat = pair_idx.reshape(-1)
+        out = model.apply(
+            variables, jnp.repeat(fi, O, axis=0), jnp.repeat(mi, O, axis=0),
+            ft[flat], mt[flat], deterministic=False,
+            method=LavenderModel.go_cross, rngs=rngs)
+        score = model.apply(
+            variables, out[:, Lv], False,
+            method=lambda m, x, d: m.fc(x, deterministic=d), rngs=rngs)
+        score = score.reshape(B, O) / temp
+        ans_vtm = jnp.zeros((B,), jnp.int32)  # positive is column 0
+        ls_vtm = common.cross_entropy_ignore(score, ans_vtm)
+        return ls_mtm + ls_vtm, {"mtm": ls_mtm, "vtm": ls_vtm}
+
+    return loss_fn

@@ -1,0 +1,161 @@
+"""Generic training/eval agent: the Agent_Base + per-task go_dl equivalent.
+
+Reference: agent.py (Agent_Base:68) and the per-task go_dl loops (e.g.
+main_retrieval_mlm.py:120-148): iterate the loader, run the jitted step,
+aggregate metrics across hosts, log LR/memory on a cadence, snapshot per
+epoch, track the best epoch.
+"""
+from __future__ import annotations
+
+import os.path as op
+import time
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavender_tpu.config import RunConfig, TrainConfig
+from lavender_tpu.parallel import mesh as pmesh
+from lavender_tpu.train import checkpoint as ckpt_lib
+from lavender_tpu.train import optimizer as opt_lib
+from lavender_tpu.train import trainer
+from lavender_tpu.utils.logging import LOGGER, RunningMeter, main_logger
+
+
+class Agent:
+    """Drives train/eval epochs for one task.
+
+    batch_to_device: dict -> dict of jnp arrays (e.g. normalize frames).
+    train_prep: optional host-side batch hook (e.g. MLM masking).
+    eval_step(variables, batch) -> per-sample metric array(s).
+    """
+
+    def __init__(self, run_cfg: RunConfig, model, variables,
+                 loss_fn: Callable, eval_step: Optional[Callable] = None,
+                 batch_to_device: Optional[Callable] = None,
+                 train_prep: Optional[Callable] = None,
+                 mesh=None, has_aux: bool = False):
+        self.cfg = run_cfg
+        self.model = model
+        self.variables = variables
+        self.mesh = mesh
+        self.log: Dict[str, List] = defaultdict(list)
+        self.logger = main_logger()
+        tcfg = run_cfg.train
+        self.tx = opt_lib.build_optimizer(variables["params"], tcfg)
+        self.state = trainer.create_train_state(
+            variables["params"], self.tx, seed=tcfg.seed)
+        self.train_step = trainer.make_train_step(
+            loss_fn, self.tx, mesh=mesh, donate=True, has_aux=has_aux)
+        self.eval_step = eval_step
+        self.batch_to_device = batch_to_device or self._default_to_device
+        self.train_prep = train_prep
+        self.tcfg = tcfg
+        self.logging_steps = 20
+
+    @staticmethod
+    def _default_to_device(batch):
+        from lavender_tpu.data.transforms import device_normalize
+        out = {}
+        for k, v in batch.items():
+            if k == "img":
+                out[k] = device_normalize(jnp.asarray(v))
+            elif isinstance(v, np.ndarray):
+                out[k] = jnp.asarray(v)
+            else:
+                out[k] = v
+        return out
+
+    # ---- loops (go_dl equivalent) ----
+
+    def train_epoch(self, ep: int, dl) -> float:
+        dl.set_epoch(ep)
+        meter = RunningMeter("ls_tr")
+        losses = []
+        t0 = time.time()
+        n_clips = 0
+        for idx, batch in enumerate(dl):
+            if self.train_prep is not None:
+                batch = self.train_prep(batch)
+            batch = self.batch_to_device(batch)
+            if self.mesh is not None:
+                batch = pmesh.shard_batch(batch, self.mesh)
+            self.state, loss = self.train_step(self.state, batch)
+            if idx % self.logging_steps == 0:
+                loss_v = float(loss)
+                meter(loss_v)
+                self.logger.info(
+                    f"ep {ep} step {idx + 1} loss {loss_v:.4f} "
+                    f"({self.throughput(n_clips, t0)})")
+            losses.append(loss)
+            n_clips += len(next(iter(batch.values())))
+        vals = [float(l) for l in losses]
+        gathered = []
+        for per_host in pmesh.all_gather_obj(np.asarray(vals, np.float64)):
+            gathered.extend(np.ravel(per_host).tolist())
+        return float(np.mean(gathered)) if gathered else float("nan")
+
+    def eval_epoch(self, dl, **kw) -> float:
+        assert self.eval_step is not None
+        accs: List[float] = []
+        for batch in dl:
+            batch = self.batch_to_device(batch)
+            out = self.eval_step({"params": self.state.params}, batch, **kw)
+            ac = out[-1] if isinstance(out, tuple) else out
+            accs.extend(np.asarray(ac, np.float64).ravel().tolist())
+        gathered = []
+        for per_host in pmesh.all_gather_obj(np.asarray(accs, np.float64)):
+            gathered.extend(np.ravel(per_host).tolist())
+        return float(np.mean(gathered)) if gathered else float("nan")
+
+    @staticmethod
+    def throughput(n: int, t0: float) -> str:
+        dt = max(time.time() - t0, 1e-9)
+        return f"{n / dt:.1f} clips/s"
+
+    # ---- checkpointing (agent.py:155-182 equivalents) ----
+
+    def save_training_meta(self):
+        if pmesh.is_main_process():
+            ckpt_lib.save_training_meta(self.cfg, self.cfg.path_output)
+
+    def save_model(self, ep: int):
+        if pmesh.is_main_process():
+            path = op.join(self.cfg.path_output,
+                           f"ckpt_{self.cfg.data.task or 'model'}_{ep}")
+            ckpt_lib.save_params(self.state.params, path)
+            ckpt_lib.save_log(dict(self.log), self.cfg.path_output)
+
+    def best_epoch(self):
+        """(best val, best test) epochs (agent.py:267-276)."""
+        vl = self.log["ac_vl"]
+        ts = self.log["ac_ts"]
+        iv, it = int(np.argmax(vl)), int(np.argmax(ts))
+        return (iv, vl[iv]), (it, ts[it])
+
+
+def run_finetune(agent: Agent, dl_tr, dl_vl, dl_ts, size_epoch: int,
+                 zero_shot: bool = False):
+    """The shared main-script epoch loop (main_retrieval_mlm.py:183-208)."""
+    logger = agent.logger
+    agent.save_training_meta()
+    if zero_shot:
+        ac_vl = agent.eval_epoch(dl_vl)
+        ac_ts = agent.eval_epoch(dl_ts) if dl_ts is not None else float("nan")
+        logger.info(f"ZS: {ac_vl * 100:.2f} {ac_ts * 100:.2f}")
+    for e in range(size_epoch):
+        ls_tr = agent.train_epoch(e + 1, dl_tr)
+        ac_vl = agent.eval_epoch(dl_vl)
+        ac_ts = agent.eval_epoch(dl_ts) if dl_ts is not None else float("nan")
+        agent.log["ls_tr"].append(ls_tr)
+        agent.log["ac_vl"].append(ac_vl)
+        agent.log["ac_ts"].append(ac_ts)
+        agent.save_model(e + 1)
+        logger.info(f"Ep {e + 1}: {ls_tr:.6f} {ac_vl:.6f} {ac_ts:.6f}")
+    if size_epoch:
+        best_vl, best_ts = agent.best_epoch()
+        logger.info(f"Best val @ ep {best_vl[0] + 1}, {best_vl[1]:.6f}")
+        logger.info(f"Best test @ ep {best_ts[0] + 1}, {best_ts[1]:.6f}")
+    return agent.log

@@ -1,0 +1,102 @@
+"""Checkpoint save/restore (Orbax) + PyTorch ``.pt`` import.
+
+Reference behaviors covered:
+* per-epoch model snapshots ``ckpt_violet_{task}_{ep}.pt`` + log.json
+  (agent.py:164-182) -> Orbax checkpoints ``ckpt_{task}_{ep}``;
+* args.json training-meta dump (agent.py:155-162);
+* tolerant loading with shape-mismatch handling and emb truncate/pad
+  (model.py:352-429) -> convert.merge_params;
+* full train-state resume (optimizer state + step), which the reference only
+  had in dead code (utils/load_save.py TrainingRestorer) — first-class here.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import os.path as op
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_params(params, path: str):
+    """Save a params pytree to an Orbax checkpoint directory."""
+    ocp = _ocp()
+    path = op.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params(path: str, like: Optional[Any] = None):
+    ocp = _ocp()
+    path = op.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if like is not None:
+            target = jax.tree_util.tree_map(np.asarray, like)
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
+
+
+def save_train_state(state, path: str):
+    """Save params + optimizer state + step for true resume."""
+    ocp = _ocp()
+    payload = {"step": state.step, "params": state.params,
+               "opt_state": state.opt_state, "rng": state.rng}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(op.abspath(path), payload, force=True)
+
+
+def restore_train_state(path: str, like_state):
+    ocp = _ocp()
+    payload = {"step": like_state.step, "params": like_state.params,
+               "opt_state": like_state.opt_state, "rng": like_state.rng}
+    target = jax.tree_util.tree_map(np.asarray, payload)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(op.abspath(path), target)
+    return type(like_state)(
+        step=restored["step"], params=restored["params"],
+        opt_state=restored["opt_state"], rng=restored["rng"])
+
+
+def save_training_meta(cfg, path_output: str):
+    """args.json equivalent (agent.py:155-162)."""
+    os.makedirs(path_output, exist_ok=True)
+
+    def to_dict(obj):
+        if dataclasses.is_dataclass(obj):
+            return {f.name: to_dict(getattr(obj, f.name))
+                    for f in dataclasses.fields(obj)}
+        if isinstance(obj, (list, tuple)):
+            return [to_dict(v) for v in obj]
+        return obj
+
+    with open(op.join(path_output, "args.json"), "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+def save_log(log: Dict, path_output: str):
+    with open(op.join(path_output, "log.json"), "w") as f:
+        json.dump(log, f, indent=2)
+
+
+def load_reference_checkpoint(pt_path: str, init_params,
+                              max_size_frame: Optional[int] = None,
+                              max_size_patch: Optional[int] = None):
+    """Load a released LAVENDER ``.pt`` into our param tree.
+
+    Combines convert (key rewrite) + merge (tolerant shapes), the equivalent
+    of LAVENDER_Base.load_ckpt/__load_ckpt__ (model.py:352-429).
+    """
+    from lavender_tpu.convert import (
+        convert_lavender_checkpoint, load_torch_checkpoint, merge_params)
+    sd = load_torch_checkpoint(pt_path)
+    loaded = convert_lavender_checkpoint(
+        sd, max_size_frame=max_size_frame, max_size_patch=max_size_patch)
+    return merge_params(init_params, loaded)

@@ -1,0 +1,386 @@
+// lavender-tpu native data plane: TSV seek + base64 + JPEG decode + resize.
+//
+// Replaces the CPU-bound Python data path (reference: utils/tsv_file.py seek
+// + dataset.py str2img cv2 decode + visbackbone/video_transform.py resize /
+// crop) with an mmap'd reader and a parallel clip decoder, exposed through a
+// plain C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC loader.cpp -o liblvt.so -ljpeg -lpthread
+//
+// Output frames are uint8 RGB [S, S, 3]; normalization happens on-device
+// (lavender_tpu/data/transforms.py device_normalize) so host->device traffic
+// stays uint8.
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <fcntl.h>
+#include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+// ---------- base64 ----------
+
+static int8_t B64_LUT[256];
+static bool b64_init_done = false;
+
+void b64_init() {
+  if (b64_init_done) return;
+  for (int i = 0; i < 256; i++) B64_LUT[i] = -1;
+  const char* a = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+  for (int i = 0; i < 64; i++) B64_LUT[(uint8_t)a[i]] = (int8_t)i;
+  b64_init_done = true;
+}
+
+// decode [src, src+len) into out; returns decoded size or -1
+long b64_decode(const char* src, long len, uint8_t* out) {
+  long o = 0;
+  uint32_t acc = 0;
+  int nbits = 0;
+  for (long i = 0; i < len; i++) {
+    char c = src[i];
+    if (c == '=' || c == '\n' || c == '\r') continue;
+    int8_t v = B64_LUT[(uint8_t)c];
+    if (v < 0) return -1;
+    acc = (acc << 6) | (uint32_t)v;
+    nbits += 6;
+    if (nbits >= 8) {
+      nbits -= 8;
+      out[o++] = (uint8_t)((acc >> nbits) & 0xFF);
+    }
+  }
+  return o;
+}
+
+// ---------- jpeg ----------
+
+struct JErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  JErr* e = (JErr*)cinfo->err;
+  longjmp(e->jb, 1);
+}
+
+// decode JPEG bytes to RGB; caller frees *out with free()
+bool jpeg_decode(const uint8_t* data, long size, uint8_t** out, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  JErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jerr_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)size);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = (int)cinfo.output_width;
+  *h = (int)cinfo.output_height;
+  uint8_t* buf = (uint8_t*)malloc((size_t)(*w) * (*h) * 3);
+  if (!buf) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = buf;
+  return true;
+}
+
+// ---------- resize (bilinear, uint8 RGB) ----------
+
+// PIL-compatible separable triangle-filter resampling (Image.BILINEAR):
+// when downscaling the filter support widens to the scale factor
+// (antialiasing), matching Pillow's ImagingResample.
+struct FilterWeights {
+  std::vector<int> bounds;     // [out] first source index
+  std::vector<int> counts;     // [out] number of taps
+  std::vector<float> weights;  // [out * max_taps]
+  int max_taps = 0;
+};
+
+FilterWeights triangle_weights(int in_size, int out_size) {
+  FilterWeights fw;
+  double scale = (double)in_size / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 1.0 * filterscale;  // bilinear radius = 1
+  int max_taps = (int)std::ceil(support) * 2 + 1;
+  fw.max_taps = max_taps;
+  fw.bounds.resize(out_size);
+  fw.counts.resize(out_size);
+  fw.weights.assign((size_t)out_size * max_taps, 0.f);
+  for (int i = 0; i < out_size; i++) {
+    double center = (i + 0.5) * scale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    double sum = 0.0;
+    for (int j = xmin; j < xmax; j++) {
+      double w = (j + 0.5 - center) / filterscale;
+      w = w < 0 ? 1.0 + w : 1.0 - w;  // triangle
+      if (w < 0) w = 0;
+      fw.weights[(size_t)i * max_taps + (j - xmin)] = (float)w;
+      sum += w;
+    }
+    if (sum > 0) {
+      for (int j = 0; j < xmax - xmin; j++)
+        fw.weights[(size_t)i * max_taps + j] /= (float)sum;
+    }
+    fw.bounds[i] = xmin;
+    fw.counts[i] = xmax - xmin;
+  }
+  return fw;
+}
+
+void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
+                     int dh) {
+  FilterWeights fx = triangle_weights(sw, dw);
+  FilterWeights fy = triangle_weights(sh, dh);
+  // horizontal pass -> float temp [sh, dw, 3]
+  std::vector<float> tmp((size_t)sh * dw * 3);
+  for (int y = 0; y < sh; y++) {
+    const uint8_t* row = src + (size_t)y * sw * 3;
+    for (int x = 0; x < dw; x++) {
+      const float* w = &fx.weights[(size_t)x * fx.max_taps];
+      int x0 = fx.bounds[x], n = fx.counts[x];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int j = 0; j < n; j++) {
+        const uint8_t* p = row + (size_t)(x0 + j) * 3;
+        acc0 += w[j] * p[0];
+        acc1 += w[j] * p[1];
+        acc2 += w[j] * p[2];
+      }
+      float* o = &tmp[((size_t)y * dw + x) * 3];
+      o[0] = acc0; o[1] = acc1; o[2] = acc2;
+    }
+  }
+  // vertical pass -> uint8 out
+  for (int y = 0; y < dh; y++) {
+    const float* w = &fy.weights[(size_t)y * fy.max_taps];
+    int y0 = fy.bounds[y], n = fy.counts[y];
+    for (int x = 0; x < dw; x++) {
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int j = 0; j < n; j++) {
+        const float* p = &tmp[((size_t)(y0 + j) * dw + x) * 3];
+        acc0 += w[j] * p[0];
+        acc1 += w[j] * p[1];
+        acc2 += w[j] * p[2];
+      }
+      uint8_t* o = dst + ((size_t)y * dw + x) * 3;
+      auto clamp8 = [](float v) {
+        int iv = (int)(v + 0.5f);
+        return (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+      };
+      o[0] = clamp8(acc0); o[1] = clamp8(acc1); o[2] = clamp8(acc2);
+    }
+  }
+}
+
+// resize shorter side to `size`, then crop to size x size
+// crop_mode: 0 = center, 1 = random (top/left from rng)
+bool frame_to_square(const uint8_t* rgb, int w, int h, int size, int crop_mode,
+                     uint32_t rng, uint8_t* out) {
+  int nw, nh;
+  if (h <= w) {
+    nh = size;
+    nw = (int)((float)size * w / h + 0.5f);
+    if (nw < size) nw = size;
+  } else {
+    nw = size;
+    nh = (int)((float)size * h / w + 0.5f);
+    if (nh < size) nh = size;
+  }
+  std::vector<uint8_t> tmp((size_t)nw * nh * 3);
+  resize_bilinear(rgb, w, h, tmp.data(), nw, nh);
+  int max_top = nh - size, max_left = nw - size;
+  int top, left;
+  if (crop_mode == 1) {
+    top = max_top > 0 ? (int)(rng % (uint32_t)(max_top + 1)) : 0;
+    left = max_left > 0 ? (int)((rng >> 16) % (uint32_t)(max_left + 1)) : 0;
+  } else {
+    top = (max_top + 1) / 2;  // round((nh - size)/2)
+    left = (max_left + 1) / 2;
+  }
+  for (int y = 0; y < size; y++) {
+    memcpy(out + (size_t)y * size * 3,
+           tmp.data() + ((size_t)(y + top) * nw + left) * 3,
+           (size_t)size * 3);
+  }
+  return true;
+}
+
+// ---------- TSV handle ----------
+
+struct TsvHandle {
+  int fd = -1;
+  const char* data = nullptr;
+  size_t size = 0;
+};
+
+struct Field {
+  const char* ptr;
+  long len;
+};
+
+// split a row starting at `offset` into tab fields (up to max_fields)
+int split_row(const TsvHandle* t, long offset, Field* fields, int max_fields) {
+  if (offset < 0 || (size_t)offset >= t->size) return -1;
+  const char* p = t->data + offset;
+  const char* end = t->data + t->size;
+  int n = 0;
+  const char* start = p;
+  while (p < end && *p != '\n') {
+    if (*p == '\t') {
+      if (n < max_fields) fields[n] = {start, p - start};
+      n++;
+      start = p + 1;
+    }
+    p++;
+  }
+  if (n < max_fields) fields[n] = {start, p - start};
+  n++;
+  return n;
+}
+
+uint32_t xorshift(uint32_t x) {
+  x ^= x << 13;
+  x ^= x >> 17;
+  x ^= x << 5;
+  return x;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* lvt_tsv_open(const char* path) {
+  b64_init();
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  void* m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_SHARED, fd, 0);
+  if (m == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  TsvHandle* h = new TsvHandle();
+  h->fd = fd;
+  h->data = (const char*)m;
+  h->size = (size_t)st.st_size;
+  return h;
+}
+
+void lvt_tsv_close(void* handle) {
+  TsvHandle* h = (TsvHandle*)handle;
+  if (!h) return;
+  munmap((void*)h->data, h->size);
+  close(h->fd);
+  delete h;
+}
+
+// number of tab-separated fields in the row at `offset` (for temporal
+// sampling: frames = fields - meta_cols)
+int lvt_row_num_fields(void* handle, long offset) {
+  Field fields[1];
+  TsvHandle* h = (TsvHandle*)handle;
+  if (offset < 0 || (size_t)offset >= h->size) return -1;
+  const char* p = h->data + offset;
+  const char* end = h->data + h->size;
+  int n = 1;
+  while (p < end && *p != '\n') {
+    if (*p == '\t') n++;
+    p++;
+  }
+  return n;
+}
+
+// Decode one clip: selected frame columns of the row at `offset`.
+// frame_cols: absolute field indices of the frames to decode.
+// out: uint8 [n_frames, size, size, 3].  Returns 0 on success.
+int lvt_decode_clip(void* handle, long offset, const int* frame_cols,
+                    int n_frames, int size, int crop_mode, uint32_t seed,
+                    uint8_t* out) {
+  TsvHandle* h = (TsvHandle*)handle;
+  const int MAXF = 512;
+  Field fields[MAXF];
+  int nf = split_row(h, offset, fields, MAXF);
+  if (nf < 0) return -1;
+  // same crop window for all frames of the clip (vid_* transforms)
+  uint32_t rng = xorshift(seed ? seed : 0x9E3779B9u);
+  std::vector<uint8_t> b64buf;
+  for (int i = 0; i < n_frames; i++) {
+    int col = frame_cols[i];
+    if (col < 0 || col >= nf || col >= MAXF) return -2;
+    const Field& f = fields[col];
+    b64buf.resize((size_t)(f.len * 3 / 4 + 8));
+    long raw = b64_decode(f.ptr, f.len, b64buf.data());
+    if (raw <= 0) return -3;
+    uint8_t* rgb = nullptr;
+    int w = 0, hh = 0;
+    if (!jpeg_decode(b64buf.data(), raw, &rgb, &w, &hh)) return -4;
+    bool ok = frame_to_square(rgb, w, hh, size, crop_mode, rng,
+                              out + (size_t)i * size * size * 3);
+    free(rgb);
+    if (!ok) return -5;
+  }
+  return 0;
+}
+
+// Batched parallel decode: n_clips rows, each with n_frames frames.
+// offsets: [n_clips]; frame_cols: [n_clips * n_frames];
+// out: [n_clips, n_frames, size, size, 3].  Returns 0 iff all succeed.
+int lvt_decode_batch(void* handle, const long* offsets, const int* frame_cols,
+                     int n_clips, int n_frames, int size, int crop_mode,
+                     uint32_t seed, int n_threads, uint8_t* out) {
+  std::atomic<int> next(0), err(0);
+  size_t clip_bytes = (size_t)n_frames * size * size * 3;
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n_clips) return;
+      int r = lvt_decode_clip(handle, offsets[i], frame_cols + (size_t)i * n_frames,
+                              n_frames, size, crop_mode,
+                              seed ? seed + (uint32_t)i * 2654435761u : 0,
+                              out + (size_t)i * clip_bytes);
+      if (r != 0) err.store(r);
+    }
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return err.load();
+}
+
+}  // extern "C"

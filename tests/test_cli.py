@@ -1,0 +1,120 @@
+"""CLI end-to-end: build a synthetic dataset dir in the reference file
+layout (img_{ds}.tsv + id2lineidx.pkl + txt_{task}.json + vocab.txt), then
+run one finetune epoch per task through the unified entry point.
+"""
+import base64
+import io
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from lavender_tpu.data.tokenizer import build_test_vocab
+from lavender_tpu.data.tsv import tsv_writer
+
+
+def _jpeg_b64(rs, size=48):
+    from PIL import Image
+    arr = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dataset")
+    rs = np.random.RandomState(0)
+    n_vid, n_frames = 6, 4
+    rows = []
+    for i in range(n_vid):
+        frames = [_jpeg_b64(rs) for _ in range(n_frames)]
+        rows.append([f"vid{i}", "{}"] + frames)
+    tsv_writer(rows, str(d / "img_toy.tsv"))
+    with open(d / "img_toy.lineidx") as f:
+        offsets = [int(l) for l in f]
+    id2lineidx = {f"vid{i}": offsets[i] for i in range(n_vid)}
+    with open(d / "img_toy.id2lineidx.pkl", "wb") as f:
+        pickle.dump(id2lineidx, f)
+
+    captions = ["a man is talking", "a dog is playing", "a woman is playing",
+                "the cat is talking", "a person is playing", "a dog runs"]
+    ret = {s: [{"video": f"vid{i}", "caption": captions[i]}
+               for i in range(n_vid)] for s in ["train", "val", "test"]}
+    with open(d / "txt_toyret.json", "w") as f:
+        json.dump(ret, f)
+
+    qamc = {s: [{"video": f"vid{i}", "question": "what is it",
+                 "option_0": "a dog", "option_1": "a cat",
+                 "option_2": "a man", "answer": i % 3}
+                for i in range(n_vid)] for s in ["train", "val", "test"]}
+    with open(d / "txt_toymc.json", "w") as f:
+        json.dump(qamc, f)
+
+    qaoe = {s: [{"video": f"vid{i}", "question": "what is playing",
+                 "answer_text": ["dog", "cat", "man"][i % 3]}
+                for i in range(n_vid)] for s in ["train", "val", "test"]}
+    with open(d / "txt_toyoe.json", "w") as f:
+        json.dump(qaoe, f)
+
+    vocab = build_test_vocab()
+    with open(d / "vocab.txt", "w") as f:
+        for tok_ in sorted(vocab, key=vocab.get):
+            f.write(tok_ + "\n")
+    return d
+
+
+def _config(data_dir, task, ds="toy", **extra):
+    cfg = {
+        "type": "retrieval", "task": task, "dataset": ds,
+        "data_dir": str(data_dir), "size_img": 64, "size_frame": 2,
+        "size_txt": 8, "size_batch": 3, "size_epoch": 1, "lr": 1e-4,
+        "size_option": 3,
+        "vocab_path": str(data_dir / "vocab.txt"),
+        "swin": {"embed_dim": 8, "depths": [1, 1, 1, 1],
+                 "num_heads": [2, 2, 2, 2], "drop_path_rate": 0.0},
+        "bert": {"vocab_size": 128, "hidden_size": 32,
+                 "num_hidden_layers": 2, "num_attention_heads": 4,
+                 "intermediate_size": 64, "max_position_embeddings": 64},
+    }
+    cfg.update(extra)
+    path = data_dir / f"args_{task}.json"
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return str(path)
+
+
+def test_cli_retrieval(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "retrieval_mlm",
+                "--config", _config(data_dir, "toyret"),
+                "--path_output", str(tmp_path)])
+    assert len(log["ls_tr"]) == 1
+    assert np.isfinite(log["ls_tr"][0])
+    assert 0.0 <= log["ac_vl"][0] <= 1.0
+
+
+def test_cli_qamc(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "qamc_mlm",
+                "--config", _config(data_dir, "toymc"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_qaoe(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "qaoe_mlm",
+                "--config", _config(data_dir, "toyoe"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_caption(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "caption",
+                "--config", _config(data_dir, "toyret"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+    assert "CIDEr" in log["metrics_vl"][0]

@@ -1,0 +1,182 @@
+"""Infrastructure tests: checkpointing, metrics, TSV round-trips, tokenizer,
+loader, task-specific heads, converter head rules.
+"""
+import os.path as op
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lavender_tpu.config import BertConfig, ModelConfig, SwinConfig, TrainConfig
+from lavender_tpu.data.loader import DataLoader, MetaLoader, ShardedSampler
+from lavender_tpu.data.tokenizer import BertTokenizer, build_test_vocab
+from lavender_tpu.data.tsv import TSVFile, create_lineidx, tsv_writer, tsv_reader
+from lavender_tpu.utils import metrics
+
+
+def test_tsv_roundtrip(tmp_path):
+    rows = [["key%d" % i, "meta", "payload-%d" % i] for i in range(7)]
+    path = str(tmp_path / "x.tsv")
+    tsv_writer(rows, path)
+    tsv = TSVFile(path)
+    assert tsv.num_rows() == 7
+    assert tsv[3] == rows[3]
+    assert tsv.get_key(6) == "key6"
+    # lineidx regeneration
+    import os
+    os.remove(str(tmp_path / "x.lineidx"))
+    tsv2 = TSVFile(path)
+    assert tsv2[5] == rows[5]
+
+
+def test_tokenizer_wordpiece():
+    tok = BertTokenizer(build_test_vocab(["play", "##ground"]))
+    assert tok.tokenize("playground") == ["play", "##ground"]
+    assert tok.tokenize("Playing") == ["playing"]  # whole word in vocab wins
+    assert tok.tokenize("dogs") == ["dog", "##s"]
+    ids = tok.encode("a dog playing", padding="max_length", max_length=10,
+                     truncation=True)
+    assert len(ids) == 10
+    assert ids[0] == tok.cls_token_id
+    assert tok.sep_token_id in ids
+    # truncation keeps [SEP]
+    ids2 = tok.encode("a dog " * 50, padding="max_length", max_length=8,
+                      truncation=True)
+    assert len(ids2) == 8 and ids2[-1] == tok.sep_token_id
+    assert tok.decode(ids).startswith("a dog play")
+
+
+def test_sharded_sampler_covers_all():
+    all_idx = []
+    for rank in range(4):
+        s = ShardedSampler(10, shuffle=True, seed=1, rank=rank, world=4)
+        all_idx.extend(s.indices())
+    assert set(all_idx) == set(range(10))
+    assert len(all_idx) == 12  # padded to equal shards
+
+
+def test_metaloader_deterministic_across_hosts():
+    class FakeDL:
+        def __init__(self, n):
+            self.n = n
+
+        def __iter__(self):
+            return iter({"x": np.zeros(1)} for _ in range(self.n))
+
+    seqs = []
+    for host in range(2):
+        ml = MetaLoader({"a": FakeDL(3), "b": FakeDL(2)},
+                        ratios={"a": 2, "b": 1}, seed=7)
+        it = iter(ml)
+        seqs.append([next(it)[0] for _ in range(20)])
+    assert seqs[0] == seqs[1]
+    assert set(seqs[0]) == {"a", "b"}
+
+
+def test_orbax_roundtrip(tmp_path):
+    from lavender_tpu.train import checkpoint as ckpt
+    params = {"a": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+              "b": np.ones((4,), np.float32)}
+    path = str(tmp_path / "ck1")
+    ckpt.save_params(params, path)
+    restored = ckpt.load_params(path, like=params)
+    np.testing.assert_array_equal(restored["a"]["w"], params["a"]["w"])
+
+
+def test_train_state_resume(tmp_path):
+    import optax
+    from lavender_tpu.train import checkpoint as ckpt
+    from lavender_tpu.train.trainer import TrainState, create_train_state
+    params = {"w": jnp.ones((3,))}
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx, seed=0)
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+    path = str(tmp_path / "ck2")
+    ckpt.save_train_state(state, path)
+    restored = ckpt.restore_train_state(path, create_train_state(params, tx))
+    assert int(restored.step) == 5
+
+
+def test_caption_metrics_perfect_match():
+    # two disjoint-vocab items so idf is non-degenerate (CIDEr is 0 by
+    # construction on a 1-image corpus)
+    cands = {"a": "man plays shiny guitar", "b": "dog runs across park"}
+    refs = {"a": ["man plays shiny guitar"], "b": ["dog runs across park"]}
+    m = metrics.coco_caption_metrics(cands, refs)
+    assert m["Bleu_4"] == pytest.approx(1.0)
+    assert m["ROUGE_L"] == pytest.approx(1.0)
+    assert m["CIDEr"] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_caption_metrics_orderings():
+    refs = {"a": ["a man is playing a guitar on stage"],
+            "b": ["a dog runs fast in the park"]}
+    good = {"a": "a man is playing a guitar", "b": "a dog runs in the park"}
+    bad = {"a": "cat cat cat", "b": "tree tree tree"}
+    mg = metrics.coco_caption_metrics(good, refs)
+    mb = metrics.coco_caption_metrics(bad, refs)
+    for k in ("Bleu_4", "CIDEr", "ROUGE_L"):
+        assert mg[k] > mb[k]
+
+
+def test_converter_sequential_head_rule():
+    torch = pytest.importorskip("torch")
+    from lavender_tpu.convert import convert_state_dict
+    seq = torch.nn.Sequential(
+        torch.nn.Dropout(0.1), torch.nn.Linear(4, 8),
+        torch.nn.ReLU(), torch.nn.Linear(8, 2))
+    sd = {f"fc.{k}": v for k, v in seq.state_dict().items()}
+    tree = convert_state_dict(sd)
+    assert tree["fc"]["fc1"]["kernel"].shape == (4, 8)
+    assert tree["fc"]["fc2"]["kernel"].shape == (8, 2)
+
+
+def test_task_specific_heads():
+    from lavender_tpu.tasks import task_specific as ts
+    cfg = ModelConfig(
+        swin=SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                        num_heads=(2, 2, 2, 2), drop_path_rate=0.0),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=64))
+    model = ts.LavenderTS(cfg, head_out=5)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.rand(2, 2, 64, 64, 3), jnp.float32)
+    txt = jnp.asarray(rs.randint(5, 60, (2, 7)), jnp.int32)
+    mask = jnp.ones((2, 7), jnp.int32)
+    variables = jax.jit(lambda r, i, t, m: model.init(
+        r, i, t, m, method=ts.LavenderTS.init_forward))(
+        jax.random.PRNGKey(0), img, txt, mask)
+    assert "fc" in variables["params"]
+    step = ts.make_cls_eval(model)
+    logits, ac = step(variables, img, txt, mask, jnp.asarray([1, 2]))
+    assert logits.shape == (2, 5)
+    loss = ts.make_cls_loss(model)(
+        variables["params"],
+        {"img": img, "txt": txt, "mask": mask, "ans": jnp.asarray([1, 2])},
+        jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    # retrieval-TS InfoNCE
+    model1 = ts.LavenderTS(cfg, head_out=1)
+    v1 = jax.jit(lambda r, i, t, m: model1.init(
+        r, i, t, m, method=ts.LavenderTS.init_forward))(
+        jax.random.PRNGKey(0), img, txt, mask)
+    score = ts.retrieval_ts_scores(model1, v1, img, txt, mask)
+    assert score.shape == (2, 2)
+    l = ts.make_retrieval_ts_loss(model1, temp=0.05)(
+        v1["params"], {"img": img, "txt": txt, "mask": mask},
+        jax.random.PRNGKey(2))
+    assert np.isfinite(float(l))
+
+    # pretrain-TS combined loss
+    ans_mtm = np.full((2, 7), -1, np.int32)
+    ans_mtm[:, 2] = 9
+    lp = ts.make_pretrain_ts_loss(model1, temp=1.0, vtm_batch=2)(
+        v1["params"],
+        {"img": img, "txt": txt, "mask": mask, "ans_mtm": jnp.asarray(ans_mtm)},
+        jax.random.PRNGKey(3))
+    loss, aux = lp
+    assert np.isfinite(float(loss))
