@@ -198,6 +198,148 @@ def run_caption(cfg: RunConfig, tok):
     return dict(agent.log)
 
 
+@register("pretrain_mlm")
+def run_pretrain_mlm(cfg: RunConfig, tok):
+    """Unified pretraining over shard-partitioned corpora
+    (main_pretrain_mlm.py:235-328).  Expects per-dataset shard files
+    ``{data_dir}/{dataset}_train_{part}.tsv`` + ``txt_{dataset}.json``
+    (the reference's generic pattern, main_pretrain_task_specific.py:44-48).
+    """
+    import glob as globmod
+    from lavender_tpu.tasks import pretrain as pt
+    model, variables = _build_model(cfg, tok)
+    loss_fn = pt.make_loss_fn(
+        model, tok.convert_tokens_to_ids(["true"])[0],
+        tok.convert_tokens_to_ids(["false"])[0],
+        vtm_batch=min(cfg.train.size_batch, 4))
+    agent = Agent(cfg, model, variables, loss_fn=loss_fn, has_aux=True)
+    special = [tok.cls_token_id, tok.sep_token_id, tok.pad_token_id,
+               tok.mask_token_id]
+
+    def train_prep(batch):
+        masked, ans = pt.mask_tokens(
+            batch["txt"], special, tok.mask_token_id, cfg.train.p_mask)
+        b = dict(batch)
+        b["txt"], b["ans_mtm"] = masked, ans
+        return b
+
+    agent.train_prep = train_prep
+    agent.save_training_meta()
+    ds_name = cfg.data.dataset
+    with open(op.join(cfg.data.data_dir, f"txt_{ds_name}.json")) as f:
+        txt_data = json.load(f)
+    parts = sorted(globmod.glob(
+        op.join(cfg.data.data_dir, f"{ds_name}_train_*.tsv")))
+    world, rank = jax.process_count(), jax.process_index()
+    for e in range(cfg.train.size_epoch):
+        for part, tsv_path in enumerate(parts):  # shard-by-shard epoch
+            ds = pt.PretrainDataset(
+                cfg.data, tok, "train", tsv_path,
+                txt_data.get("train", txt_data), dataset_name=ds_name)
+            dl = DataLoader(ds, cfg.train.size_batch, shuffle=True,
+                            num_workers=cfg.data.n_workers, drop_last=True,
+                            seed=cfg.train.seed + e, rank=rank, world=world)
+            ls = agent.train_epoch(e + 1, dl)
+            agent.log[f"{ds_name}-p{part}"].append(ls)
+            agent.save_model(e + 1)
+            agent.logger.info(f"Ep {e + 1} part {part}: loss {ls:.4f}")
+    return dict(agent.log)
+
+
+@register("eval_retrieval")
+def run_eval_retrieval(cfg: RunConfig, tok):
+    """Two-phase full-corpus retrieval eval (eval_retrieval_mlm.py)."""
+    from lavender_tpu.tasks import eval_retrieval as er
+    datasets = load_task_data(
+        cfg.data, er.RetrievalEvalDataset, tok,
+        multi_clip=cfg.multi_clip_testing)
+    model, variables = _build_model(cfg, tok)
+    results = {}
+    for split in [s for s in ("val", "test") if s in datasets]:
+        res = er.full_retrieval_eval(
+            model, variables, datasets[split],
+            batch_size=cfg.train.size_batch)
+        results[split] = res
+        LOGGER.info(f"{split}: {res}")
+    if cfg.path_ckpt:
+        out = op.splitext(cfg.path_ckpt)[0] + "_results.json"
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
+@register("multi_task_mlm")
+def run_multi_task_mlm(cfg: RunConfig, tok):
+    """Unified multi-task finetune (main_multi_task_mlm.py).
+
+    Config carries ``multi_task_datasets``: list of {type, task, dataset,
+    ratio} entries; each builds its loader and the MetaLoader samples a
+    task per step from a shared seeded RNG.
+    """
+    from lavender_tpu.data.loader import MetaLoader
+    from lavender_tpu.models import captioning as cap
+    from lavender_tpu.tasks import multi_task, qamc, qaoe, retmc, retrieval
+    with open(cfg.extra["config_path"]) as f:
+        raw = json.load(f)
+    entries = raw.get("multi_task_datasets", [])
+    model, variables = _build_model(cfg, tok)
+    true_id = tok.convert_tokens_to_ids(["true"])[0]
+    false_id = tok.convert_tokens_to_ids(["false"])[0]
+    losses = multi_task.build_multi_task_losses(model, true_id, false_id)
+    agent = Agent(cfg, model, variables,
+                  loss_fn=losses["retrieval"])  # state/opt shared
+    steps = multi_task.make_multi_task_train_steps(losses, agent.tx)
+
+    ds_cls = {"retrieval": retrieval.RetrievalDataset,
+              "qamc": qamc.QAMCDataset, "qaoe": qaoe.QAOEDataset,
+              "retmc": retmc.RetMCDataset,
+              "captioning": retrieval.RetrievalDataset}
+    world, rank = jax.process_count(), jax.process_index()
+    loaders, ratios, kinds = {}, {}, {}
+    import copy
+    import dataclasses as dc
+    for ent in entries:
+        dcfg = dc.replace(cfg.data, dataset=ent["dataset"],
+                          task=ent["task"])
+        kind = ent["type"]
+        kw = {"mlm": False} if kind == "captioning" else {}
+        dss = load_task_data(dcfg, ds_cls[kind], tok, **kw)
+        name = f'{kind}-{ent["dataset"]}'
+        loaders[name] = DataLoader(
+            dss["train"], cfg.train.size_batch, shuffle=True,
+            num_workers=cfg.data.n_workers, drop_last=True,
+            seed=cfg.train.seed, rank=rank, world=world)
+        ratios[name] = int(ent.get("ratio", 1))
+        kinds[name] = kind
+    ml = MetaLoader(loaders, ratios=ratios, seed=cfg.train.seed)
+    max_steps = int(raw.get("max_steps", 100))
+    agent.save_training_meta()
+    from lavender_tpu.parallel import mesh as pmesh
+    for step_i, (name, batch) in enumerate(iter(ml)):
+        if step_i >= max_steps:
+            break
+        kind = kinds[name]
+        if kind == "captioning":
+            masked, ans = cap.caption_masking(
+                batch["txt"], tok.pad_token_id, tok.mask_token_id,
+                p_mask=cfg.train.p_mask)
+            batch = dict(batch)
+            batch["txt"], batch["ans_mtm"] = masked, ans
+            batch["mask"] = batch["mask"]
+        batch = {k: v for k, v in batch.items() if k != "vid" or
+                 kind == "retrieval"}
+        if kind == "retrieval":
+            batch["vid"] = np.asarray(
+                [hash(v) % (2 ** 31) if isinstance(v, str) else v
+                 for v in batch["vid"]], np.int32)
+        db = agent.batch_to_device(batch)
+        agent.state, loss = steps[kind](agent.state, db)
+        if step_i % 20 == 0:
+            agent.logger.info(f"step {step_i} [{name}] loss {float(loss):.4f}")
+    agent.save_model(0)
+    return {"steps": max_steps}
+
+
 def _wrap_eval(step, keys):
     def eval_step(variables, batch):
         return step(variables, *[batch[k] for k in keys])
@@ -215,6 +357,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = load_run_config(args.config)
+    cfg.extra["config_path"] = args.config
     if args.path_ckpt:
         cfg.path_ckpt = args.path_ckpt
     if args.path_output:

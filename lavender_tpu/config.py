@@ -158,6 +158,7 @@ class RunConfig:
     path_output: str = "./_snapshot"
     vis_backbone_size: str = "base"
     multi_clip_testing: bool = False
+    extra: Dict[str, Any] = field(default_factory=dict)
 
 
 def _coerce(value: Any, typ: Any) -> Any:

@@ -63,6 +63,74 @@ class ShardedSampler:
         return idx
 
 
+class LimitedSampler(ShardedSampler):
+    """Cap samples per host per epoch (DistributedSamplerLimited,
+    utils/data_sampler.py:13-95)."""
+
+    def __init__(self, n: int, shuffle: bool, limited: int, seed: int = 88,
+                 rank: int = 0, world: int = 1):
+        super().__init__(n, shuffle, seed, rank, world)
+        self.limited = limited
+
+    def indices(self) -> List[int]:
+        idx = super().indices()
+        return idx[: self.limited] if self.limited > 0 else idx
+
+
+class NodeSplitSampler(ShardedSampler):
+    """Composite-source-aware split: keep each source's rows on one host
+    (NodeSplitSampler, utils/data_sampler.py:98-193) so a host touches few
+    shard files."""
+
+    def __init__(self, source_idx: Sequence[int], shuffle: bool,
+                 seed: int = 88, rank: int = 0, world: int = 1):
+        super().__init__(len(source_idx), shuffle, seed, rank, world)
+        self.source_idx = list(source_idx)
+
+    def indices(self) -> List[int]:
+        import collections
+        by_src = collections.defaultdict(list)
+        for i, s in enumerate(self.source_idx):
+            by_src[s].append(i)
+        sources = sorted(by_src)
+        rng = random.Random(self.seed + self.epoch)
+        if self.shuffle:
+            rng.shuffle(sources)
+        mine: List[int] = []
+        for j, s in enumerate(sources):
+            if j % self.world == self.rank:
+                rows = by_src[s]
+                if self.shuffle:
+                    rng.shuffle(rows)
+                mine.extend(rows)
+        return mine
+
+
+class IterationBasedBatchIter:
+    """Wraps batch iteration to run a fixed number of iterations, cycling
+    epochs (IterationBasedBatchSampler, utils/data_sampler.py:196-222)."""
+
+    def __init__(self, loader: "DataLoader", num_iters: int,
+                 start_iter: int = 0):
+        self.loader = loader
+        self.num_iters = num_iters
+        self.iteration = start_iter
+
+    def __len__(self):
+        return self.num_iters
+
+    def __iter__(self):
+        ep = 0
+        while self.iteration < self.num_iters:
+            self.loader.set_epoch(ep)
+            for batch in self.loader:
+                if self.iteration >= self.num_iters:
+                    return
+                self.iteration += 1
+                yield batch
+            ep += 1
+
+
 class DataLoader:
     """Minimal threaded batch loader over a map-style dataset."""
 
