@@ -147,8 +147,24 @@ def run_retmc_mlm(cfg: RunConfig, tok):
 def run_caption(cfg: RunConfig, tok):
     from lavender_tpu.models import captioning as cap
     from lavender_tpu.tasks import retrieval
-    datasets = load_task_data(cfg.data, retrieval.RetrievalDataset, tok,
-                              mlm=False)
+    raw = {}
+    if cfg.extra.get("config_path"):
+        with open(cfg.extra["config_path"]) as f:
+            raw = json.load(f)
+    if "train_yaml" in raw:
+        # YAML-driven composite corpora (Dataset_Caption, main_caption.py:17)
+        from lavender_tpu.data.composite import CompositeCaptionDataset
+        datasets = {
+            split: CompositeCaptionDataset(
+                cfg.data, tok, raw[f"{key}_yaml"], split)
+            for split, key in (("train", "train"), ("val", "val"))
+            if f"{key}_yaml" in raw}
+        if "test_yaml" in raw:
+            datasets["test"] = CompositeCaptionDataset(
+                cfg.data, tok, raw["test_yaml"], "test")
+    else:
+        datasets = load_task_data(cfg.data, retrieval.RetrievalDataset, tok,
+                                  mlm=False)
     dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
     cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
     model, variables = _build_model(cfg, tok)
@@ -171,26 +187,54 @@ def run_caption(cfg: RunConfig, tok):
         model, tok.cls_token_id, tok.sep_token_id, tok.pad_token_id,
         tok.mask_token_id)
 
-    def eval_captions(dl):
+    def eval_captions(dl, predict_file=None):
+        """Decode -> gather -> predictions TSV -> COCO metrics
+        (Agent_Captioning.test + evaluate, main_caption.py:81-217)."""
+        from lavender_tpu.parallel.mesh import all_gather_obj, is_main_process
         from lavender_tpu.utils.metrics import coco_caption_metrics
-        cands, refs = {}, {}
+        cands, confs = {}, {}
         for batch in dl:
             img = agent.batch_to_device(batch)["img"]
-            ids, _ = generate({"params": agent.state.params}, img,
-                              jax.random.PRNGKey(0))
-            for key, row in zip(batch["vid"], np.asarray(ids)):
+            ids, logp = generate({"params": agent.state.params}, img,
+                                 jax.random.PRNGKey(0))
+            for key, row, lp_ in zip(batch["vid"], np.asarray(ids),
+                                     np.asarray(logp)):
                 cands[str(key)] = tok.decode(row.tolist())
-        for item in dl.dataset.txt:
-            refs.setdefault(str(item["video"]), []).append(
-                item["caption"] if isinstance(item["caption"], str)
-                else " ".join(item["caption"]))
-        cands = {k: v for k, v in cands.items() if k in refs}
+                confs[str(key)] = float(np.exp(lp_))
+        # cross-host gather of per-rank prediction dicts
+        gathered = {}
+        for per_host in all_gather_obj([cands]):
+            for d in per_host:
+                gathered.update(d)
+        cands = gathered
+        if predict_file and is_main_process():
+            from lavender_tpu.data.tsv import tsv_writer
+            rows = [[k, json.dumps([{"caption": v,
+                                     "conf": confs.get(k, 0.0)}])]
+                    for k, v in sorted(cands.items())]
+            tsv_writer(rows, predict_file)
+        refs = {}
+        if hasattr(dl.dataset, "get_captions_by_key"):
+            for key in cands:
+                try:
+                    refs[key] = dl.dataset.get_captions_by_key(key)
+                except KeyError:
+                    pass
+        else:
+            for item in dl.dataset.txt:
+                refs.setdefault(str(item["video"]), []).append(
+                    item["caption"] if isinstance(item["caption"], str)
+                    else " ".join(item["caption"]))
+        cands = {k: v for k, v in cands.items() if k in refs and refs[k]}
+        refs = {k: refs[k] for k in cands}
         return coco_caption_metrics(cands, refs)
 
     agent.save_training_meta()
     for e in range(cfg.train.size_epoch):
         ls = agent.train_epoch(e + 1, dl_tr)
-        metrics = eval_captions(dl_vl)
+        metrics = eval_captions(
+            dl_vl, predict_file=op.join(cfg.path_output,
+                                        f"predictions_ep{e + 1}.tsv"))
         agent.log["ls_tr"].append(ls)
         agent.log["metrics_vl"].append(metrics)
         agent.save_model(e + 1)

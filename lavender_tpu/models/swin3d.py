@@ -143,6 +143,47 @@ class Mlp(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """LayerNorm params without the op (for fused kernels); tree-compatible
+    with nn.LayerNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Dense params without the op; tree-compatible with nn.Dense."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (self.in_features, self.out_features))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    in_features: int
+    hidden_features: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _DenseParams(self.in_features, self.hidden_features,
+                              name="fc1")()
+        k2, b2 = _DenseParams(self.hidden_features, self.in_features,
+                              name="fc2")()
+        return k1, b1, k2, b2
+
+
 class WindowAttention3D(nn.Module):
     """Window multi-head self-attention with 3D relative position bias.
 
@@ -233,10 +274,9 @@ class SwinBlock3D(nn.Module):
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn")
-        norm2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
-                             name="norm2")
-        mlp = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
-                  out_features=self.dim, dtype=self.dtype, name="mlp")
+        hidden_f = int(self.dim * self.mlp_ratio)
+        n2_scale, n2_bias = _LNParams(self.dim, name="norm2")()
+        k1, b1, k2, b2 = _MlpParams(self.dim, hidden_f, name="mlp")()
 
         def part1(x):
             h = norm1(x)
@@ -270,7 +310,19 @@ class SwinBlock3D(nn.Module):
             return h
 
         def part2(x):
-            return mlp(norm2(x))
+            from lavender_tpu.ops.fused_mlp import (
+                fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
+            flat = x.reshape(-1, C)
+            if (self.attn_impl == "pallas"
+                    and weights_fit_vmem(C, hidden_f)):
+                out = fused_ln_mlp(
+                    flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                    self.layer_norm_eps)
+            else:
+                out = ln_mlp_reference(
+                    flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                    self.layer_norm_eps)
+            return out.astype(self.dtype).reshape(x.shape)
 
         if not deterministic and self.drop_path_rate > 0.0:
             rng = self.make_rng("dropout")

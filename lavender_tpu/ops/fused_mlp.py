@@ -1,0 +1,123 @@
+"""Fused LayerNorm + MLP Pallas kernel for Swin blocks.
+
+The Swin MLP (video_swin.py:63-79: fc1 -> GELU -> fc2, preceded by norm2)
+is bandwidth-bound on TPU: the 4x-wide intermediate round-trips HBM.  This
+kernel tiles tokens, keeps LN statistics and the intermediate in VMEM, and
+streams the weights once (constant block index): traffic drops from
+~(2 + 8 + 8 + 2) * tokens * C bytes to ~4 * tokens * C.
+
+Backward recomputes in pure JAX (windows/tokens are small); forward is the
+serving path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def ln_mlp_reference(x: Array, ln_scale: Array, ln_bias: Array,
+                     w1: Array, b1: Array, w2: Array, b2: Array,
+                     eps: float = 1e-5) -> Array:
+    """Pure-JAX oracle: mlp(layernorm(x)).
+
+    LN statistics in f32; matmuls in x.dtype (matches the flax module path
+    in both f32-golden and bf16-serving modes).
+    """
+    cdt = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    h = ln.astype(cdt) @ w1.astype(cdt) + b1.astype(cdt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    o = h.astype(cdt) @ w2.astype(cdt) + b2.astype(cdt)
+    return o.astype(x.dtype)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            o_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)  # [TM, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    ln = (x - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    h = jax.lax.dot_general(
+        ln, w1_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=False)
+    o = jax.lax.dot_general(
+        h, w2_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    M, C = x.shape
+    HD = w1.shape[1]
+    # token tile: keep TM * HD f32 intermediate ~<= 4 MB
+    TM = max(256, min(2048, (4 * 1024 * 1024) // max(HD * 4, 1)))
+    while M % TM != 0 and TM > 8:
+        TM //= 2
+    if M % TM != 0:
+        TM = M  # small inputs: single tile
+    vec = lambda a: a.reshape(1, -1)
+    grid_spec = pl.GridSpec(
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * C * HD,
+            bytes_accessed=4 * M * C + 2 * C * HD * 4,
+            transcendentals=M * HD),
+    )(x, vec(ln_scale), vec(ln_bias), w1, vec(b1), w2, vec(b2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
+    """mlp(layernorm(x)) for 2-D x [M, C]; caller adds the residual."""
+    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+
+
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps), (
+        x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _bwd(eps, res, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+
+    def f(x, s, b, w1_, b1_, w2_, b2_):
+        return ln_mlp_reference(x, s, b, w1_, b1_, w2_, b2_, eps)
+
+    _, vjp = jax.vjp(f, x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_fwd, _bwd)
+
+
+def weights_fit_vmem(C: int, HD: int, bytes_per: int = 2,
+                     budget: int = 10 * 1024 * 1024) -> bool:
+    return 2 * C * HD * bytes_per <= budget

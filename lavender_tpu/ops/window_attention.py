@@ -48,21 +48,44 @@ def window_attention_reference(q: Array, k: Array, v: Array, bias: Array,
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
                  scale: float, has_mask: bool):
-    q = q_ref[0, 0].astype(jnp.float32)  # [N, hd]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q * scale, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [N, N]
-    s = s + bias_ref[0].astype(jnp.float32)
-    if has_mask:
-        s = s + mask_ref[0].astype(jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    """One grid step = WB windows x all heads.
+
+    The (window, head) loop is unrolled over 2-D MXU dots — Mosaic lowers
+    these directly (batched 3-D matmuls compile poorly), while the block
+    granularity keeps DMAs large and grid steps few.
+    """
+    WB, nH, N, hd = q_ref.shape
+    for wi in range(WB):
+        for h in range(nH):
+            q = q_ref[wi, h].astype(jnp.float32)  # [N, hd]
+            k = k_ref[wi, h].astype(jnp.float32)
+            v = v_ref[wi, h].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [N, N]
+            s = s + bias_ref[h].astype(jnp.float32)
+            if has_mask:
+                s = s + mask_ref[wi].astype(jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            p = p / l
+            o = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[wi, h] = o.astype(o_ref.dtype)
+
+
+def _pick_window_block(W: int, nW: Optional[int], nH: int, N: int,
+                       vmem_budget: int = 6 * 1024 * 1024) -> int:
+    """Largest WB dividing W (and nW if masked) with f32 scores in budget."""
+    per_win = nH * N * N * 4
+    wb = max(1, vmem_budget // max(per_win, 1))
+    while wb > 1 and (W % wb != 0 or (nW is not None and nW % wb != 0)):
+        wb -= 1
+    if nW is not None:
+        wb = min(wb, nW)
+    return max(1, wb)
 
 
 def _fused_forward(q: Array, k: Array, v: Array, bias: Array,
@@ -72,19 +95,28 @@ def _fused_forward(q: Array, k: Array, v: Array, bias: Array,
     if not has_mask:
         mask = jnp.zeros((1, N, N), q.dtype)  # dummy (not read)
     nW = mask.shape[0]
+    WB = _pick_window_block(W, nW if has_mask else None, nH, N)
 
-    qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda w, h: (w, h, 0, 0),
+    if has_mask:
+        n_mask_blocks = nW // WB
+        mask_spec = pl.BlockSpec(
+            (WB, N, N), lambda i: (i % n_mask_blocks, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, N, N), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    qkv_spec = pl.BlockSpec((WB, nH, N, hd), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
-        grid=(W, nH),
+        grid=(W // WB,),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, N, N), lambda w, h: (h, 0, 0),
+            pl.BlockSpec((nH, N, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N), lambda w, h: (w % nW, 0, 0),
-                         memory_space=pltpu.VMEM),
+            mask_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, N, hd), lambda w, h: (w, h, 0, 0),
+        out_specs=pl.BlockSpec((WB, nH, N, hd), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(_attn_kernel, scale=scale, has_mask=has_mask)

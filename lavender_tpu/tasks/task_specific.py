@@ -11,7 +11,7 @@ Each variant adds a 2-layer MLP head ``fc`` over the fused text-CLS position
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,40 @@ class LavenderTS(LavenderModel):
         out = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
         return self.fc(out[:, (1 + h * w) * T],
                        deterministic=deterministic)
+
+
+class LavenderMultiHead(LavenderModel):
+    """Multi-task baseline with per-task heads ``fc_<task>``.
+
+    Reference: main_multi_task_multi_head.py:81-109 — one 2-layer MLP per
+    dataset/task combo.  heads: tuple of (name, out_dim).
+    """
+
+    heads: Tuple[Tuple[str, int], ...] = ()
+
+    def setup(self):
+        super().setup()
+        self.fcs = {
+            name: MLPHead(self.config.hidden_size, out,
+                          dtype=self.dtype, name=f"fc_{name}")
+            for name, out in self.heads}
+
+    def init_forward(self, img: Array, txt: Array, mask: Array) -> Array:
+        logits = LavenderModel.__call__(self, img, txt, mask)
+        z = jnp.zeros((1, self.config.hidden_size), self.dtype)
+        for name, _ in self.heads:
+            _ = self.fcs[name](z)
+        return logits
+
+    def head_forward(self, head: str, img: Array, txt: Array, mask: Array,
+                     deterministic: bool = True) -> Array:
+        B, T, H, W, _ = img.shape
+        h, w = H // 32, W // 32
+        fi, mi, ft, mt = self.go_feat(
+            img, txt, mask, deterministic=deterministic)
+        out = self.go_cross(fi, mi, ft, mt, deterministic=deterministic)
+        return self.fcs[head](out[:, (1 + h * w) * T],
+                              deterministic=deterministic)
 
 
 def retrieval_ts_scores(model: LavenderTS, variables, img, txt, mask,

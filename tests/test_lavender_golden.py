@@ -156,6 +156,87 @@ def test_seq2seq_mask_forward_golden(ref_model, jax_model):
     np.testing.assert_allclose(ours, ref_logits, atol=1e-4)
 
 
+def test_odr_frame_order_golden(ref_model, jax_model):
+    """Frame-order embedding path (model.py:72-81)."""
+    model, variables = jax_model
+    img, txt, mask = _inputs(seed=7)
+    B, T_ = img.shape[:2]
+    odr = np.array([[1, 0], [0, 1]], dtype=np.int64)  # one shuffled, one not
+    with torch.no_grad():
+        fi, _, _, _ = ref_model.go_feat(
+            torch.from_numpy(img.transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(txt), torch.from_numpy(mask),
+            odr=torch.from_numpy(odr))
+    jfi, _, _, _ = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(txt), jnp.asarray(mask),
+        jnp.asarray(odr), method=LavenderModel.go_feat)
+    np.testing.assert_allclose(np.asarray(jfi), fi.numpy(), atol=3e-5)
+
+
+def test_task_token_pretext_golden(ref_model, jax_model):
+    """Task-token prepend path (model.py:248-306): reference prepends
+    emb_task[task_id] to the text features; ours must match through the
+    fusion encoder."""
+    model, variables = jax_model
+    img, txt, mask = _inputs(seed=8)
+    B, T_, H = img.shape[0], img.shape[1], 64
+    h = w = H // 32
+    # give the reference the task table ours was initialized with
+    emb_task = np.asarray(variables["params"]["emb_task"])
+    ref_model.emb_task = torch.nn.Parameter(torch.from_numpy(emb_task))
+    ref_model.task_tok2id = {"vtm": 0, "mc": 1, "oe": 2, "cap": 3}
+    ref_model.args["enable_task_token"] = True
+    with torch.no_grad():
+        fi, mi, ft, mt = ref_model.go_feat(
+            torch.from_numpy(img.transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(txt), torch.from_numpy(mask))
+        t2, mt2, ft2 = ref_model.prepro_txt_inputs(
+            torch.from_numpy(txt), mt, ft, task_name="oe")
+        out, _ = ref_model.go_cross(fi, mi, ft2, mt2)
+        ref_logits = ref_model.fc_mtm(out[:, (1 + h * w) * T_:]).numpy()
+    ref_model.args["enable_task_token"] = False
+
+    from lavender_tpu.tasks.common import fused_mlm_logits
+    fp, mp = model.apply(variables, "oe", B, method=LavenderModel.task_feat)
+    ours, lp = fused_mlm_logits(
+        model, variables, jnp.asarray(img), jnp.asarray(txt),
+        jnp.asarray(mask), feat_pre=fp, mask_pre=mp)
+    assert lp == 1
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-4)
+
+
+def test_prompt_pretext_golden(ref_model, jax_model):
+    """Prompt prepend path (model.py:266-288)."""
+    model, variables = jax_model
+    img, txt, mask = _inputs(seed=9)
+    B, T_, H = img.shape[0], img.shape[1], 64
+    h = w = H // 32
+    prompt_txt = np.array([2, 17, 18, 3], dtype=np.int64)
+    prompt_mask = np.ones((4,), dtype=np.int64)
+    ref_model.args["enable_prompt"] = True
+    with torch.no_grad():
+        fi, mi, ft, mt = ref_model.go_feat(
+            torch.from_numpy(img.transpose(0, 1, 4, 2, 3)),
+            torch.from_numpy(txt), torch.from_numpy(mask))
+        t2, mt2, ft2 = ref_model.prepro_txt_inputs(
+            torch.from_numpy(txt), mt, ft,
+            prompt=(torch.from_numpy(prompt_txt),
+                    torch.from_numpy(prompt_mask)))
+        out, _ = ref_model.go_cross(fi, mi, ft2, mt2)
+        ref_logits = ref_model.fc_mtm(out[:, (1 + h * w) * T_:]).numpy()
+    ref_model.args["enable_prompt"] = False
+
+    from lavender_tpu.tasks.common import fused_mlm_logits
+    fp = model.apply(variables, jnp.asarray(prompt_txt), B,
+                     method=LavenderModel.encode_prompt)
+    mp = jnp.broadcast_to(jnp.asarray(prompt_mask, jnp.int32)[None], (B, 4))
+    ours, lp = fused_mlm_logits(
+        model, variables, jnp.asarray(img), jnp.asarray(txt),
+        jnp.asarray(mask), feat_pre=fp, mask_pre=mp)
+    assert lp == 4
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, atol=1e-4)
+
+
 def test_vt_mask_golden(ref_model, jax_model):
     model, variables = jax_model
     img, txt, mask = _inputs(seed=6)

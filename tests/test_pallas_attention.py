@@ -78,3 +78,30 @@ def test_swin_pallas_impl_matches_xla():
         y_p = model_p.apply(variables, x)
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_ln_mlp_matches_reference():
+    from lavender_tpu.ops import fused_mlp as fm
+    rs = np.random.RandomState(0)
+    M, C, HD = 96, 32, 128
+    x = jnp.asarray(rs.randn(M, C).astype(np.float32))
+    s = jnp.asarray(rs.randn(C).astype(np.float32))
+    b = jnp.asarray(rs.randn(C).astype(np.float32))
+    w1 = jnp.asarray(rs.randn(C, HD).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rs.randn(HD).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rs.randn(HD, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rs.randn(C).astype(np.float32) * 0.1)
+    ref = fm.ln_mlp_reference(x, s, b, w1, b1, w2, b2)
+    with pltpu.force_tpu_interpret_mode():
+        out = fm.fused_ln_mlp(x, s, b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    # gradients flow through the custom vjp
+    def loss(x):
+        with pltpu.force_tpu_interpret_mode():
+            return (fm.fused_ln_mlp(x, s, b, w1, b1, w2, b2) ** 2).sum()
+    g = jax.grad(loss)(x)
+    g_ref = jax.grad(lambda x: (fm.ln_mlp_reference(
+        x, s, b, w1, b1, w2, b2) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-3)
