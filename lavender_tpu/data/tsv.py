@@ -40,8 +40,8 @@ class TSVFile:
         if not op.isfile(self.lineidx_path) and generate_lineidx:
             create_lineidx(tsv_path, self.lineidx_path)
         self._offsets: Optional[List[int]] = None
-        self._fp = None
-        self._pid = None
+        import threading
+        self._tls = threading.local()
 
     def _ensure_offsets(self):
         if self._offsets is None:
@@ -49,12 +49,15 @@ class TSVFile:
                 self._offsets = [int(l) for l in f if l.strip()]
 
     def _ensure_fp(self):
-        # re-open after fork so each worker has its own file position
-        # (cf. utils/tsv_file.py:98-106)
+        # One handle per (thread, pid): loader threads share the dataset, so
+        # a shared fp would race on seek+readline (the reference's analogous
+        # guard is the per-worker reopen, utils/tsv_file.py:98-106).
         pid = os.getpid()
-        if self._fp is None or self._pid != pid:
-            self._fp = open(self.tsv_path, "rb")
-            self._pid = pid
+        fp = getattr(self._tls, "fp", None)
+        if fp is None or getattr(self._tls, "pid", None) != pid:
+            self._tls.fp = open(self.tsv_path, "rb")
+            self._tls.pid = pid
+        return self._tls.fp
 
     def num_rows(self) -> int:
         self._ensure_offsets()
@@ -65,16 +68,16 @@ class TSVFile:
 
     def seek(self, idx: int) -> List[str]:
         self._ensure_offsets()
-        self._ensure_fp()
-        self._fp.seek(self._offsets[idx])
-        line = self._fp.readline()
+        fp = self._ensure_fp()
+        fp.seek(self._offsets[idx])
+        line = fp.readline()
         return [s.strip() for s in line.decode("utf-8").split("\t")]
 
     def seek_offset(self, offset: int) -> List[str]:
         """Seek by raw byte offset (id2lineidx pkl flow, dataset.py:44-46)."""
-        self._ensure_fp()
-        self._fp.seek(offset)
-        line = self._fp.readline()
+        fp = self._ensure_fp()
+        fp.seek(offset)
+        line = fp.readline()
         return [s.strip() for s in line.decode("utf-8").split("\t")]
 
     def __getitem__(self, idx: int) -> List[str]:
@@ -84,9 +87,10 @@ class TSVFile:
         return self.seek(idx)[0]
 
     def close(self):
-        if self._fp is not None:
-            self._fp.close()
-            self._fp = None
+        fp = getattr(self._tls, "fp", None)
+        if fp is not None:
+            fp.close()
+            self._tls.fp = None
 
 
 class CompositeTSVFile:

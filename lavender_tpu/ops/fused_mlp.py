@@ -42,6 +42,22 @@ def ln_mlp_reference(x: Array, ln_scale: Array, ln_bias: Array,
     return o.astype(x.dtype)
 
 
+def _erf(x):
+    """f32 erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Mosaic has
+    no erf/erfc lowering."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
 def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)  # [TM, C]
@@ -49,12 +65,15 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
     ln = (x - mean) * jax.lax.rsqrt(var + eps)
     ln = ln * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    # matmul operands in the weights' dtype (bf16 serving) for MXU rate;
+    # f32 accumulation
+    wdt = w1_ref.dtype
     h = jax.lax.dot_general(
-        ln, w1_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ln.astype(wdt), w1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=False)
+    h = _gelu_exact(h)
     o = jax.lax.dot_general(
-        h, w2_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        h.astype(wdt), w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
     o_ref[:] = o.astype(o_ref.dtype)
 

@@ -57,19 +57,21 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
     WB, nH, N, hd = q_ref.shape
     for wi in range(WB):
         for h in range(nH):
-            q = q_ref[wi, h].astype(jnp.float32)  # [N, hd]
-            k = k_ref[wi, h].astype(jnp.float32)
-            v = v_ref[wi, h].astype(jnp.float32)
+            # operands stay in input dtype (bf16 on the serving path) so
+            # the MXU runs at native rate; accumulation is f32.
+            q = q_ref[wi, h]  # [N, hd]
+            k = k_ref[wi, h]
+            v = v_ref[wi, h]
             s = jax.lax.dot_general(
-                q * scale, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [N, N]
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [N, N]
             s = s + bias_ref[h].astype(jnp.float32)
             if has_mask:
                 s = s + mask_ref[wi].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             l = jnp.sum(p, axis=-1, keepdims=True)
-            p = p / l
+            p = (p / l).astype(v.dtype)
             o = jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)

@@ -180,3 +180,25 @@ def test_task_specific_heads():
         jax.random.PRNGKey(3))
     loss, aux = lp
     assert np.isfinite(float(loss))
+
+
+def test_tsv_thread_safety(tmp_path):
+    """Concurrent seeks from many threads must read the right rows (the
+    loader's thread pool shares one dataset; regression for a seek race)."""
+    from concurrent.futures import ThreadPoolExecutor
+    rows = [[f"k{i}", "m", "x" * (i % 50 + 1)] for i in range(200)]
+    path = str(tmp_path / "race.tsv")
+    tsv_writer(rows, path)
+    tsv = TSVFile(path)
+
+    def read_many(seed):
+        import random as rnd
+        r = rnd.Random(seed)
+        for _ in range(300):
+            i = r.randrange(200)
+            row = tsv.seek(i)
+            assert row[0] == f"k{i}", (i, row[0])
+        return True
+
+    with ThreadPoolExecutor(8) as pool:
+        assert all(pool.map(read_many, range(8)))
