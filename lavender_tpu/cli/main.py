@@ -45,7 +45,8 @@ def _build_model(cfg: RunConfig, tok, model_cls=None, **kw):
     bert = dataclasses.replace(cfg.model.bert, vocab_size=max(
         cfg.model.bert.vocab_size, len(tok)))
     mcfg = dataclasses.replace(cfg.model, bert=bert)
-    model = (model_cls or LavenderModel)(mcfg, **kw)
+    model = (model_cls or LavenderModel)(
+        mcfg, dtype=jnp.dtype(mcfg.dtype), **kw)
     S, T, L = cfg.data.size_img, cfg.data.size_frame, cfg.data.size_txt + 1
     img = jnp.zeros((1, T, S, S, 3), jnp.float32)
     txt = jnp.zeros((1, L), jnp.int32)

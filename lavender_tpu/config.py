@@ -199,6 +199,7 @@ def load_run_config(path_or_dict) -> RunConfig:
     model = ModelConfig(
         swin=swin,
         bert=bert,
+        dtype=raw.get("dtype", "float32"),
         max_size_frame=int(raw.get("max_size_frame", 6)),
         max_size_patch=int(raw.get("max_size_patch", 14)),
         enable_task_token=bool(raw.get("enable_task_token", False)),
