@@ -35,6 +35,9 @@ class SwinConfig:
     # window-attention implementation: "xla" (einsum) or "pallas" (fused
     # VMEM kernel, lavender_tpu/ops/window_attention.py)
     attn_impl: str = "xla"
+    # rematerialize each block in backward (the reference's use_checkpoint /
+    # torch gradient checkpointing, video_swin.py:250-258)
+    remat: bool = False
 
     @property
     def num_features(self) -> int:

@@ -372,14 +372,17 @@ class BasicLayer(nn.Module):
     drop_path_rates: Tuple[float, ...] = ()
     has_downsample: bool = False
     attn_impl: str = "xla"
+    remat: bool = False
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         shift = tuple(w // 2 for w in self.window_size)
+        block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
+                     if self.remat else SwinBlock3D)
         for i in range(self.depth):
-            x = SwinBlock3D(
+            x = block_cls(
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size,
                 shift_size=(0, 0, 0) if i % 2 == 0 else shift,
@@ -389,7 +392,7 @@ class BasicLayer(nn.Module):
                                 if self.drop_path_rates else 0.0),
                 attn_impl=self.attn_impl,
                 layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
-                name=f"blocks_{i}")(x, deterministic=deterministic)
+                name=f"blocks_{i}")(x, deterministic)
         if self.has_downsample:
             x = PatchMerging(dim=self.dim, layer_norm_eps=self.layer_norm_eps,
                              dtype=self.dtype, name="downsample")(x)
@@ -463,6 +466,7 @@ class VideoSwin3D(nn.Module):
                 drop_path_rates=tuple(dpr[start:start + cfg.depths[i]]),
                 has_downsample=i < num_layers - 1,
                 attn_impl=cfg.attn_impl,
+                remat=cfg.remat,
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
                 name=f"layers_{i}")(x, deterministic=deterministic)

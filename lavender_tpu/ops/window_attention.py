@@ -50,32 +50,37 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
                  scale: float, has_mask: bool):
     """One grid step = WB windows x all heads.
 
-    The (window, head) loop is unrolled over 2-D MXU dots — Mosaic lowers
-    these directly (batched 3-D matmuls compile poorly), while the block
-    granularity keeps DMAs large and grid steps few.
+    A fori_loop over (window, head) pairs with 2-D MXU dots: batched 3-D
+    matmuls and fully-unrolled loops both compile pathologically in Mosaic;
+    a rolled loop keeps the program tiny while the block granularity keeps
+    DMAs large and grid steps few.  Operands stay in the input dtype (bf16
+    on the serving path) with f32 accumulation.
     """
     WB, nH, N, hd = q_ref.shape
-    for wi in range(WB):
-        for h in range(nH):
-            # operands stay in input dtype (bf16 on the serving path) so
-            # the MXU runs at native rate; accumulation is f32.
-            q = q_ref[wi, h]  # [N, hd]
-            k = k_ref[wi, h]
-            v = v_ref[wi, h]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # [N, N]
-            s = s + bias_ref[h].astype(jnp.float32)
-            if has_mask:
-                s = s + mask_ref[wi].astype(jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            p = (p / l).astype(v.dtype)
-            o = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_ref[wi, h] = o.astype(o_ref.dtype)
+
+    def body(i, _):
+        wi = i // nH
+        h = i % nH
+        q = q_ref[wi, h]  # [N, hd]
+        k = k_ref[wi, h]
+        v = v_ref[wi, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [N, N]
+        s = s + bias_ref[h].astype(jnp.float32)
+        if has_mask:
+            s = s + mask_ref[wi].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[wi, h] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, WB * nH, body, 0)
 
 
 def _pick_window_block(W: int, nW: Optional[int], nH: int, N: int,
