@@ -122,8 +122,17 @@ def run_qaoe_mlm(cfg: RunConfig, tok):
         cfg, model, variables, loss_fn=qaoe.make_loss_fn(model),
         eval_step=_wrap_eval(qaoe.make_eval_step(model),
                              ["img", "txt", "mask", "mask_ans"]))
-    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
-                        zero_shot=bool(cfg.path_ckpt))
+    log = run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                       zero_shot=bool(cfg.path_ckpt))
+    # "adjusted" test accuracy for datasets with missing test videos
+    # (main_qaoe_mlm.py:178-188): scale by actual/size_test
+    if "test" in datasets and cfg.extra.get("size_test"):
+        actual = len(datasets["test"])
+        ratio = actual / float(cfg.extra["size_test"])
+        log["ac_ts_adjusted"] = [a * ratio for a in log.get("ac_ts", [])]
+        agent.logger.info(f"adjusted test acc (x{ratio:.4f}): "
+                          f"{log['ac_ts_adjusted']}")
+    return log
 
 
 @register("retmc_mlm")
@@ -403,6 +412,10 @@ def main(argv=None):
 
     cfg = load_run_config(args.config)
     cfg.extra["config_path"] = args.config
+    with open(args.config) as f:
+        _raw = json.load(f)
+    if "size_test" in _raw:
+        cfg.extra["size_test"] = _raw["size_test"]
     if args.path_ckpt:
         cfg.path_ckpt = args.path_ckpt
     if args.path_output:
