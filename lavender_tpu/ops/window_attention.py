@@ -80,7 +80,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         o_ref[wi, h] = o.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, WB * nH, body, 0, unroll=4)
+    jax.lax.fori_loop(0, WB * nH, body, 0)
 
 
 def _pick_window_block(W: int, nW: Optional[int], nH: int, N: int,
