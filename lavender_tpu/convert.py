@@ -186,6 +186,35 @@ def merge_params(init_params: Dict, loaded: Dict, path: str = "") -> Dict:
     return out
 
 
+def remap_swinbert_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """SwinBERT checkpoint key remap (reference load_SwinBERT_weight,
+    model.py:431-473): swin.backbone->enc_img.swin, trans_encoder.bert.*
+    -> trsfr / enc_txt.emb_txt / enc_img.img_embedding, trans_encoder.cls
+    -> fc_mtm, fc.-> enc_img.fc.; everything else dropped."""
+    out: Dict[str, Any] = {}
+    for key, val in sd.items():
+        if "swin.backbone" in key:
+            out[key.replace("swin.backbone", "enc_img.swin")] = val
+        elif "trans_encoder.bert.encoder" in key:
+            out[key.replace("trans_encoder.bert.encoder", "trsfr")] = val
+        elif "trans_encoder.bert.embeddings" in key:
+            out[key.replace("trans_encoder.bert.embeddings",
+                            "enc_txt.emb_txt")] = val
+        elif "trans_encoder.bert.img_embedding" in key:
+            out[key.replace("trans_encoder.bert.img_embedding",
+                            "enc_img.img_embedding")] = val
+        elif key.startswith("trans_encoder.cls."):
+            out[key.replace("trans_encoder.cls.", "fc_mtm.")] = val
+        elif key.startswith("fc."):
+            out[key.replace("fc.", "enc_img.fc.")] = val
+    # fake the decoder bias from the tied predictions bias (model.py:470)
+    if ("fc_mtm.predictions.bias" in out
+            and "fc_mtm.predictions.decoder.bias" not in out):
+        out["fc_mtm.predictions.decoder.bias"] = out[
+            "fc_mtm.predictions.bias"]
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a ``.pt`` file to a numpy state dict (requires torch)."""
     import torch  # local import: torch is a conversion-time-only dependency

@@ -118,3 +118,28 @@ def test_cli_caption(data_dir, tmp_path):
                 "--path_output", str(tmp_path)])
     assert np.isfinite(log["ls_tr"][0])
     assert "CIDEr" in log["metrics_vl"][0]
+
+
+def test_cli_multi_task(data_dir, tmp_path):
+    import json as jsonmod
+    from lavender_tpu.cli.main import main
+    cfg_path = _config(data_dir, "toyret",
+                       multi_task_datasets=[
+                           {"type": "retrieval", "task": "toyret",
+                            "dataset": "toy", "ratio": 2},
+                           {"type": "qamc", "task": "toymc",
+                            "dataset": "toy", "ratio": 1}],
+                       max_steps=4)
+    log = main(["--task", "multi_task_mlm", "--config", cfg_path,
+                "--path_output", str(tmp_path)])
+    assert log["steps"] == 4
+
+
+def test_cli_eval_retrieval(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    res = main(["--task", "eval_retrieval",
+                "--config", _config(data_dir, "toyret"),
+                "--path_output", str(tmp_path)])
+    for split in ("val", "test"):
+        assert "R@1" in res[split]
+        assert 0.0 <= res[split]["R@1"] <= 100.0

@@ -202,3 +202,25 @@ def test_tsv_thread_safety(tmp_path):
 
     with ThreadPoolExecutor(8) as pool:
         assert all(pool.map(read_many, range(8)))
+
+
+def test_swinbert_key_remap():
+    from lavender_tpu.convert import remap_swinbert_keys
+    sd = {
+        "swin.backbone.patch_embed.proj.weight": 1,
+        "trans_encoder.bert.encoder.layer.0.attention.self.query.weight": 2,
+        "trans_encoder.bert.embeddings.word_embeddings.weight": 3,
+        "trans_encoder.bert.img_embedding.weight": 4,
+        "trans_encoder.cls.predictions.bias": 5,
+        "fc.weight": 6,
+        "unrelated.thing": 7,
+    }
+    out = remap_swinbert_keys(sd)
+    assert out["enc_img.swin.patch_embed.proj.weight"] == 1
+    assert out["trsfr.layer.0.attention.self.query.weight"] == 2
+    assert out["enc_txt.emb_txt.word_embeddings.weight"] == 3
+    assert out["enc_img.img_embedding.weight"] == 4
+    assert out["fc_mtm.predictions.bias"] == 5
+    assert out["fc_mtm.predictions.decoder.bias"] == 5  # faked tied bias
+    assert out["enc_img.fc.weight"] == 6
+    assert "unrelated.thing" not in out
