@@ -18,7 +18,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--size-txt", type=int, default=25)

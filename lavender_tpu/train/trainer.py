@@ -51,7 +51,7 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         rng, new_rng = jax.random.split(state.rng)
         out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
             state.params, batch, rng)
-        loss = out if not has_aux else out
+        loss = out[0] if has_aux else out
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

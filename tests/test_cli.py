@@ -143,3 +143,17 @@ def test_cli_eval_retrieval(data_dir, tmp_path):
     for split in ("val", "test"):
         assert "R@1" in res[split]
         assert 0.0 <= res[split]["R@1"] <= 100.0
+
+
+def test_cli_pretrain(data_dir, tmp_path):
+    import shutil
+    from lavender_tpu.cli.main import main
+    # shard layout: {dataset}_train_{part}.tsv + txt_{dataset}.json (vid->caps)
+    shutil.copy(data_dir / "img_toy.tsv", data_dir / "toypre_train_0.tsv")
+    caps = {f"vid{i}": [f"a dog is playing {i}"] for i in range(6)}
+    with open(data_dir / "txt_toypre.json", "w") as f:
+        json.dump({"train": caps}, f)
+    log = main(["--task", "pretrain_mlm",
+                "--config", _config(data_dir, "toypre", ds="toypre"),
+                "--path_output", str(tmp_path)])
+    assert any(np.isfinite(v[0]) for k, v in log.items() if v)
