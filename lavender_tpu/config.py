@@ -91,6 +91,8 @@ class ModelConfig:
     max_size_patch: int = 14
     # EncTxt: embeddings-only by default (utils/args.py:91-93)
     txt_backbone_embed_only: bool = True
+    # SwinBERT-initialized EncVideo variant (model.py:11,32-35,52-67)
+    swinbert: bool = False
     # task token table (main_retrieval_mlm.py:46-48)
     num_task_tokens: int = 10
     enable_task_token: bool = False

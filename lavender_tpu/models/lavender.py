@@ -71,6 +71,12 @@ class EncVideo(nn.Module):
         self.swin = VideoSwin3D(cfg.swin, dtype=self.dtype, name="swin")
         latent = cfg.swin.num_features
         hidden = cfg.hidden_size
+        if cfg.swinbert:
+            # SwinBERT-initialized variant (model.py:32-35)
+            self.fc = nn.Dense(512, dtype=self.dtype, name="fc")
+            self.img_embedding = nn.Dense(hidden, dtype=self.dtype,
+                                          name="img_embedding")
+            return
         if latent != hidden:
             self.fc = nn.Dense(hidden, dtype=self.dtype, name="fc")
         else:
@@ -97,6 +103,16 @@ class EncVideo(nn.Module):
 
         f = self.swin(img, deterministic=deterministic)  # [B, T, h, w, latent]
         f = f.reshape(B, T, h * w, -1)
+        if self.config.swinbert:
+            # SwinBERT path (model.py:52-67): fc -> img_embedding, a fake
+            # zero [CLS] whose attention-mask entry is 0
+            f = self.img_embedding(self.fc(f))
+            fake_cls = jnp.zeros((B, T, 1, f.shape[-1]), f.dtype)
+            f = jnp.concatenate([fake_cls, f], axis=2)
+            m = jnp.ones((B, T, 1 + h * w), dtype=jnp.int32)
+            m = m.at[:, :, 0].set(0)
+            return (f.reshape(B, T * (1 + h * w), -1),
+                    m.reshape(B, T * (1 + h * w)))
         if self.fc is not None:
             f = self.fc(f)
 

@@ -127,3 +127,34 @@ def test_top_k_top_p_filter_matches_torch():
         finite = np.isfinite(ref)
         assert np.array_equal(np.isfinite(ours), finite), (tk, tp)
         np.testing.assert_allclose(ours[finite], ref[finite], rtol=1e-6)
+
+
+def test_generate_sampling_runs(tiny):
+    """do_sample with temperature + top-k/top-p produces valid tokens and
+    respects the finished mask (model_for_captioning.py:436-447)."""
+    model, variables = tiny
+    rs = np.random.RandomState(5)
+    img = jnp.asarray(rs.rand(2, 2, 64, 64, 3), jnp.float32)
+    gen = cap.make_generate_fn(
+        model, CLS, SEP, PAD, MASK,
+        cap.GenerateConfig(max_gen_length=8, do_sample=True,
+                           temperature=0.8, top_k=10, top_p=0.9))
+    ids, logp = gen(variables, img, jax.random.PRNGKey(3))
+    ids = np.asarray(ids)
+    assert ids.shape == (2, 8)
+    assert (ids[:, 0] == CLS).all()
+    assert np.all(np.isfinite(np.asarray(logp)))
+    # different rng -> (very likely) different sample
+    ids2 = np.asarray(gen(variables, img, jax.random.PRNGKey(4))[0])
+    assert ids.shape == ids2.shape
+
+
+def test_generate_repetition_penalty(tiny):
+    model, variables = tiny
+    rs = np.random.RandomState(6)
+    img = jnp.asarray(rs.rand(1, 2, 64, 64, 3), jnp.float32)
+    gen = cap.make_generate_fn(
+        model, CLS, SEP, PAD, MASK,
+        cap.GenerateConfig(max_gen_length=8, repetition_penalty=1.5))
+    ids, _ = gen(variables, img, jax.random.PRNGKey(0))
+    assert np.asarray(ids).shape == (1, 8)
