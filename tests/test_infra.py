@@ -224,3 +224,52 @@ def test_swinbert_key_remap():
     assert out["fc_mtm.predictions.decoder.bias"] == 5  # faked tied bias
     assert out["enc_img.fc.weight"] == 6
     assert "unrelated.thing" not in out
+
+
+@pytest.mark.skipif(not op.isdir("/root/reference/_args"),
+                    reason="reference configs not mounted")
+def test_reference_arg_configs_parse():
+    """All 19 reference _args/*.json recipes load through load_run_config."""
+    import glob
+    from lavender_tpu.config import load_run_config
+    paths = sorted(glob.glob("/root/reference/_args/*.json"))
+    assert len(paths) >= 19
+    for p in paths:
+        cfg = load_run_config(p)
+        assert cfg.data.size_img in (224, 384)
+        assert cfg.train.size_batch > 0
+    cfg = load_run_config("/root/reference/_args/args_msrvtt-retrieval.json")
+    assert cfg.task_type == "retrieval"
+    assert cfg.data.dataset == "msrvtt"
+    assert cfg.data.size_frame == 5
+    assert cfg.train.lr == 2e-5
+    assert cfg.vis_backbone_size == "base"
+    assert cfg.model.swin.embed_dim == 128  # base preset
+
+
+def test_enc_txt_full_encoder():
+    """txt_backbone_embed_only=False path: full BERT over text with
+    full/seq2seq masks (model.py:104-142)."""
+    import dataclasses
+    import jax
+    from lavender_tpu.config import BertConfig, ModelConfig, SwinConfig
+    from lavender_tpu.models.lavender import EncTxt
+    cfg = ModelConfig(
+        swin=SwinConfig(embed_dim=8, depths=(1,), num_heads=(2,)),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=64, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0),
+        txt_backbone_embed_only=False)
+    m = EncTxt(cfg)
+    txt = jnp.asarray(np.random.RandomState(0).randint(3, 60, (2, 7)),
+                      jnp.int32)
+    mask = jnp.ones((2, 7), jnp.int32)
+    v = m.init(jax.random.PRNGKey(0), txt, mask)
+    assert "txt_trsfr" in v["params"]
+    out_full = m.apply(v, txt, mask)
+    out_s2s = m.apply(v, txt, mask, attn_mask_type="seq2seq")
+    assert out_full.shape == (2, 7, 32)
+    # causal masking changes non-final positions
+    assert not np.allclose(np.asarray(out_full[:, 0]),
+                           np.asarray(out_s2s[:, 0]), atol=1e-5)
