@@ -31,6 +31,12 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:  # persistent compile cache: repeat runs skip the slow remote compile
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lavender_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

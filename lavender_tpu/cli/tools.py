@@ -23,8 +23,6 @@ import pickle
 import sys
 from typing import List
 
-import numpy as np
-
 from lavender_tpu.data.transforms import uniform_indices
 from lavender_tpu.data.tsv import TSVFile, create_lineidx, tsv_writer
 

@@ -9,8 +9,7 @@ from __future__ import annotations
 
 import json
 import os.path as op
-import random
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

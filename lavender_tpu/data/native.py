@@ -11,7 +11,7 @@ import ctypes
 import os
 import os.path as op
 import subprocess
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import os.path as op
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 
 def create_lineidx(tsv_path: str, idx_path: Optional[str] = None) -> str:

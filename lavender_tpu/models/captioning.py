@@ -14,8 +14,7 @@ text mask (verified in tests against a full re-encode oracle).
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ product is batched host-side.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -123,13 +123,38 @@ def make_cross_fn(model: LavenderModel, true_id: int, false_id: int,
     return cross_fn
 
 
+def dual_encoder_scores(featv: Dict, featt: Dict, vids, tids) -> np.ndarray:
+    """Cheap two-tower prefilter: cosine similarity between mean-pooled
+    video tokens and mean-pooled text tokens.  Not in the reference — used
+    to shortlist candidates before the expensive fusion pass."""
+
+    def pool(feat, mask):
+        m = mask.astype(np.float32)[..., None]
+        return (feat * m).sum(0) / np.maximum(m.sum(0), 1.0)
+
+    v = np.stack([pool(featv[x]["feat_img"], featv[x]["mask_img"])
+                  for x in vids])
+    t = np.stack([pool(featt[x]["feat_txt"], featt[x]["mask_txt"])
+                  for x in tids])
+    v = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+    t = t / np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-6)
+    return t @ v.T  # [n_t, n_v]
+
+
 def full_retrieval_eval(model: LavenderModel, variables,
                         dataset: RetrievalEvalDataset,
                         batch_size: int = 16,
                         pair_batch: int = 64,
-                        loader=None) -> Dict[str, float]:
+                        loader=None,
+                        rerank_top_k: int = 0) -> Dict[str, float]:
     """Run both phases and compute R@1/5/10 + MedR
-    (eval_retrieval_mlm.py:138-241)."""
+    (eval_retrieval_mlm.py:138-241).
+
+    rerank_top_k > 0 enables the two-tower prefilter: only each text's top-k
+    videos by pooled cosine go through the fusion scorer (the rest keep the
+    prefilter score, offset below the fusion range).  Cuts the O(T*V) fusion
+    cost to O(T*k) with near-identical R@k when k >= 2x the recall horizon.
+    """
     from lavender_tpu.data.loader import DataLoader
     feat_fn = make_feat_fn(model)
     cross_fn = make_cross_fn(
@@ -140,7 +165,6 @@ def full_retrieval_eval(model: LavenderModel, variables,
     featv: Dict[str, Dict] = {}
     featt: Dict[int, Dict] = {}
     for batch in dl:
-        img = jnp.asarray(batch["img"], jnp.float32)
         img = TF.device_normalize(jnp.asarray(batch["img"]))
         fi, mi, ft, mt = feat_fn(variables, img, jnp.asarray(batch["txt"]),
                                  jnp.asarray(batch["mask"]))
@@ -154,10 +178,19 @@ def full_retrieval_eval(model: LavenderModel, variables,
     vids = list(featv.keys())
     vid2idx = {v: i for i, v in enumerate(vids)}
     tids = sorted(featt.keys())
+    tid2row = {t: i for i, t in enumerate(tids)}
     n_t, n_v = len(tids), len(vids)
 
-    pairs = [(t, v) for t in tids for v in vids]
-    score = np.zeros((n_t, n_v), np.float32)
+    if rerank_top_k and rerank_top_k < n_v:
+        pre = dual_encoder_scores(featv, featt, vids, tids)
+        # prefilter scores land strictly below the fusion range [0, 1]
+        score = (pre.astype(np.float32) - pre.max() - 1.0) * 1e-3
+        top = np.argsort(-pre, axis=1)[:, :rerank_top_k]
+        pairs = [(t, vids[j]) for i, t in enumerate(tids) for j in top[i]]
+    else:
+        score = np.zeros((n_t, n_v), np.float32)
+        pairs = [(t, v) for t in tids for v in vids]
+
     for start in range(0, len(pairs), pair_batch):
         chunk = pairs[start:start + pair_batch]
         pad = pair_batch - len(chunk)
@@ -168,7 +201,7 @@ def full_retrieval_eval(model: LavenderModel, variables,
         mt = jnp.asarray(np.stack([featt[t]["mask_txt"] for t, _ in chunk_p]))
         s = np.asarray(cross_fn(variables, fi, mi, ft, mt))
         for (t, v), sc in zip(chunk, s[:len(chunk)]):
-            score[tids.index(t), vid2idx[v]] = sc
+            score[tid2row[t], vid2idx[v]] = sc
 
     gt = np.asarray([vid2idx[dataset.gt_txt2vid[t]] for t in tids])
     return recall_at_k(score, gt)

@@ -10,9 +10,7 @@ zero communication (see data/loader.py).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
-
-import jax
+from typing import Callable, Dict
 
 from lavender_tpu.models.captioning import make_caption_loss_fn
 from lavender_tpu.models.lavender import LavenderModel

@@ -8,7 +8,7 @@ eval normalizes probabilities over the option-digit tokens.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ once per batch, then video features are ``repeat``-ed and text features
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ Each variant adds a 2-layer MLP head ``fc`` over the fused text-CLS position
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

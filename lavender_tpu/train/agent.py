@@ -10,18 +10,18 @@ from __future__ import annotations
 import os.path as op
 import time
 from collections import defaultdict
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lavender_tpu.config import RunConfig, TrainConfig
+from lavender_tpu.config import RunConfig
 from lavender_tpu.parallel import mesh as pmesh
 from lavender_tpu.train import checkpoint as ckpt_lib
 from lavender_tpu.train import optimizer as opt_lib
 from lavender_tpu.train import trainer
-from lavender_tpu.utils.logging import LOGGER, RunningMeter, main_logger
+from lavender_tpu.utils.logging import RunningMeter, main_logger
 
 
 class Agent:

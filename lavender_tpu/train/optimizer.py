@@ -6,7 +6,7 @@ and the per-iteration WarmupLinearLR (agent.py:13-43), as optax transforms.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import optax

@@ -165,3 +165,25 @@ def test_iteration_based_iter():
     it = IterationBasedBatchIter(dl, num_iters=7)
     batches = list(it)
     assert len(batches) == 7  # cycles past one epoch (3 batches/epoch)
+
+
+def test_full_retrieval_eval_rerank(tok, tiny, img_data):
+    """Two-tower prefilter + fusion rerank: full pipeline runs; with
+    top-k == corpus size it matches the exhaustive scores."""
+    from lavender_tpu.tasks import eval_retrieval as er
+    d, id2lineidx = img_data
+    model, variables = tiny
+    cfg = DataConfig(size_img=64, size_frame=2, size_txt=8)
+    txt = [{"video": f"v{i}", "caption": f"a dog is playing {i}"}
+           for i in range(4)]
+    ds = er.RetrievalEvalDataset(cfg, tok, "test", str(d / "img_fc.tsv"),
+                                 id2lineidx, txt)
+    full = er.full_retrieval_eval(model, variables, ds, batch_size=2,
+                                  pair_batch=8)
+    rr = er.full_retrieval_eval(model, variables, ds, batch_size=2,
+                                pair_batch=8, rerank_top_k=2)
+    assert set(rr) == set(full)
+    # with k == n_v the rerank path reduces to exhaustive
+    rr_full = er.full_retrieval_eval(model, variables, ds, batch_size=2,
+                                     pair_batch=8, rerank_top_k=4)
+    assert rr_full == full
