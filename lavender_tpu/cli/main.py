@@ -350,7 +350,6 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
               "captioning": retrieval.RetrievalDataset}
     world, rank = jax.process_count(), jax.process_index()
     loaders, ratios, kinds = {}, {}, {}
-    import copy
     import dataclasses as dc
     for ent in entries:
         dcfg = dc.replace(cfg.data, dataset=ent["dataset"],
@@ -368,7 +367,6 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
     ml = MetaLoader(loaders, ratios=ratios, seed=cfg.train.seed)
     max_steps = int(raw.get("max_steps", 100))
     agent.save_training_meta()
-    from lavender_tpu.parallel import mesh as pmesh
     for step_i, (name, batch) in enumerate(iter(ml)):
         if step_i >= max_steps:
             break

@@ -135,6 +135,23 @@ class Agent:
         iv, it = int(np.argmax(vl)), int(np.argmax(ts))
         return (iv, vl[iv]), (it, ts[it])
 
+    def save_state(self, path: str):
+        """Full train-state snapshot (optimizer + step) for elastic resume
+        — first-class here; the reference only had this in dead code
+        (utils/load_save.py TrainingRestorer)."""
+        if pmesh.is_main_process():
+            ckpt_lib.save_train_state(self.state, path)
+
+    def maybe_resume(self, path: str) -> bool:
+        """Restore a full train state if a snapshot exists; returns True on
+        resume."""
+        if not op.isdir(path):
+            return False
+        self.state = ckpt_lib.restore_train_state(path, self.state)
+        self.logger.info(f"resumed train state from {path} "
+                         f"(step {int(self.state.step)})")
+        return True
+
 
 def run_finetune(agent: Agent, dl_tr, dl_vl, dl_ts, size_epoch: int,
                  zero_shot: bool = False):

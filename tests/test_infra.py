@@ -273,3 +273,44 @@ def test_enc_txt_full_encoder():
     # causal masking changes non-final positions
     assert not np.allclose(np.asarray(out_full[:, 0]),
                            np.asarray(out_s2s[:, 0]), atol=1e-5)
+
+
+def test_agent_full_resume(tmp_path):
+    """Agent.save_state/maybe_resume round-trips optimizer state + step."""
+    import jax as _jax
+    from lavender_tpu.config import RunConfig
+    from lavender_tpu.models.lavender import LavenderModel
+    from lavender_tpu.tasks import retrieval as ret
+    cfg = ModelConfig(
+        swin=SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                        num_heads=(2, 2, 2, 2), drop_path_rate=0.0),
+        bert=BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=64))
+    model = LavenderModel(cfg)
+    img = jnp.zeros((2, 2, 64, 64, 3), jnp.float32)
+    txt = jnp.zeros((2, 7), jnp.int32)
+    mask = jnp.ones((2, 7), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, txt, mask)
+    run_cfg = RunConfig()
+    run_cfg.train.max_iter = 10
+    from lavender_tpu.train.agent import Agent
+    agent = Agent(run_cfg, model, variables,
+                  loss_fn=ret.make_loss_fn(model, 5, 6))
+    batch = {"img": img, "txt": txt, "mask": mask,
+             "vid": jnp.arange(2, dtype=jnp.int32)}
+    agent.state, _ = agent.train_step(agent.state, batch)
+    agent.state, _ = agent.train_step(agent.state, batch)
+    path = str(tmp_path / "resume_ck")
+    agent.save_state(path)
+
+    # re-init: agent1's donated train steps consumed the original buffers
+    variables2 = jax.jit(model.init)(jax.random.PRNGKey(1), img, txt, mask)
+    agent2 = Agent(run_cfg, model, variables2,
+                   loss_fn=ret.make_loss_fn(model, 5, 6))
+    assert agent2.maybe_resume(path)
+    assert int(agent2.state.step) == 2
+    w1 = jax.tree_util.tree_leaves(agent.state.params)[0]
+    w2 = jax.tree_util.tree_leaves(agent2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    assert not agent2.maybe_resume(str(tmp_path / "nope"))
