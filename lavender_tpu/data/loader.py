@@ -193,6 +193,29 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(iterator, to_device: Callable, depth: int = 2):
+    """Overlap host batch prep with device compute: keep `depth` batches
+    already transferred (uint8 frames -> normalized on device) ahead of the
+    consumer.  JAX dispatch is async, so simply staying ahead of the
+    consumer pipeline keeps the chip fed.
+    """
+    import collections
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            buf.append(to_device(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(to_device(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class MetaLoader:
     """Infinite ratio-weighted multi-task iterator (dataset.py:702-748).
 

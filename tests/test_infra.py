@@ -314,3 +314,18 @@ def test_agent_full_resume(tmp_path):
     w2 = jax.tree_util.tree_leaves(agent2.state.params)[0]
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
     assert not agent2.maybe_resume(str(tmp_path / "nope"))
+
+
+def test_device_prefetch():
+    from lavender_tpu.data.loader import device_prefetch
+    calls = []
+
+    def to_dev(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(device_prefetch(iter([1, 2, 3, 4]), to_dev, depth=2))
+    assert out == [10, 20, 30, 40]
+    assert calls == [1, 2, 3, 4]
+    assert list(device_prefetch(iter([]), to_dev, depth=2)) == []
+    assert list(device_prefetch(iter([7]), to_dev, depth=3)) == [70]
