@@ -329,3 +329,19 @@ def test_device_prefetch():
     assert calls == [1, 2, 3, 4]
     assert list(device_prefetch(iter([]), to_dev, depth=2)) == []
     assert list(device_prefetch(iter([7]), to_dev, depth=3)) == [70]
+
+
+def test_merge_params_truncate_pad():
+    """Tolerant checkpoint merge (model.py:370-429): prefix-slice copy for
+    emb truncate/pad, keep-init on incompatible shapes."""
+    from lavender_tpu.convert import merge_params
+    init = {"a": np.zeros((4, 6), np.float32),
+            "b": {"c": np.zeros((3,), np.float32)},
+            "d": np.zeros((2, 2), np.float32)}
+    loaded = {"a": np.ones((2, 6), np.float32),          # prefix slice
+              "b": {"c": np.ones((3,), np.float32)},     # exact
+              "d": np.ones((5, 5), np.float32)}          # incompatible
+    out = merge_params(init, loaded)
+    assert out["a"][:2].sum() == 12 and out["a"][2:].sum() == 0
+    assert out["b"]["c"].sum() == 3
+    assert out["d"].sum() == 0  # kept init
