@@ -44,6 +44,22 @@ class RetMCDataset(TsvTaskDataset):
                 "mask_ans": np.stack(mask_ans), "ans_idx": np.int32(ans_idx)}
 
 
+class QAMCHeadDataset(RetMCDataset):
+    """MC-QA scored per-option as VTM true/false: one (video, question +
+    option) pair per option (Dataset_QAMC_MLM_Head,
+    main_qamc_mlm_head.py:12-96; the README-recommended TGIF flow T10
+    generates the digit instead — that is tasks/qamc.py).
+
+    Reuses the RetMC machinery: QAMC items carry question + option_i, and
+    the option text becomes "question option_i" with an appended [MASK].
+    """
+
+    def __getitem__(self, idx):
+        item = dict(self.txt[idx])
+        item.setdefault("question", item.get("question", ""))
+        return super().__getitem__(idx)
+
+
 def option_logits(model: LavenderModel, variables, img, txt, mask,
                   deterministic=True, rngs=None):
     """img [B,T,S,S,3], txt/mask [B,O,L] -> logits [B*O, L, V].
