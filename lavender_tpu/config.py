@@ -38,6 +38,9 @@ class SwinConfig:
     # rematerialize each block in backward (the reference's use_checkpoint /
     # torch gradient checkpointing, video_swin.py:250-258)
     remat: bool = False
+    # lax.scan over weight-stacked (no-shift, shift) block pairs per stage:
+    # ~depth/2x smaller XLA program (compile time), same math
+    scan_blocks: bool = False
 
     @property
     def num_features(self) -> int:

@@ -186,6 +186,44 @@ def merge_params(init_params: Dict, loaded: Dict, path: str = "") -> Dict:
     return out
 
 
+def swin_to_scan_layout(swin_params: Dict, depths) -> Dict:
+    """Per-block stage layout -> scan layout (SwinConfig.scan_blocks).
+
+    ``layers_{i}/blocks_{2k}`` / ``blocks_{2k+1}`` become
+    ``layers_{i}/blocks_scan/a`` / ``b`` with params stacked over the pair
+    axis k.  Stages with odd depth are left as-is (the model falls back to
+    the unrolled path for them).
+    """
+    import jax
+
+    out = dict(swin_params)
+    for i, depth in enumerate(depths):
+        layer_key = f"layers_{i}"
+        if layer_key not in out or depth % 2 != 0:
+            continue
+        layer = dict(out[layer_key])
+        if f"blocks_0" not in layer:
+            continue
+        n_pairs = depth // 2
+        evens = [layer.pop(f"blocks_{2 * k}") for k in range(n_pairs)]
+        odds = [layer.pop(f"blocks_{2 * k + 1}") for k in range(n_pairs)]
+        stack = lambda trees: jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs, axis=0), *trees)
+        layer["blocks_scan"] = {"a": stack(evens), "b": stack(odds)}
+        out[layer_key] = layer
+    return out
+
+
+def lavender_to_scan_layout(params: Dict, depths) -> Dict:
+    """Apply swin_to_scan_layout to a full LAVENDER tree (enc_img/swin)."""
+    out = dict(params)
+    if "enc_img" in out and "swin" in out["enc_img"]:
+        enc = dict(out["enc_img"])
+        enc["swin"] = swin_to_scan_layout(enc["swin"], depths)
+        out["enc_img"] = enc
+    return out
+
+
 def remap_swinbert_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:
     """SwinBERT checkpoint key remap (reference load_SwinBERT_weight,
     model.py:431-473): swin.backbone->enc_img.swin, trans_encoder.bert.*

@@ -120,9 +120,13 @@ def compute_shift_mask(D: int, H: int, W: int,
     return attn_mask
 
 
-def drop_path(x: Array, rate: float, deterministic: bool, rng) -> Array:
-    """Stochastic depth per sample (video_swin.py:46-54)."""
-    if deterministic or rate == 0.0:
+def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
+    """Stochastic depth per sample (video_swin.py:46-54).
+
+    ``rate`` may be a python float or a traced scalar (the scanned-stage
+    path feeds per-block rates as scan inputs).
+    """
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -262,7 +266,9 @@ class SwinBlock3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 dp_rate=None) -> Array:
+        """dp_rate: optional traced per-call drop-path rate (scan path)."""
         B, D, H, W, C = x.shape
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, self.shift_size)
@@ -324,13 +330,16 @@ class SwinBlock3D(nn.Module):
                     self.layer_norm_eps)
             return out.astype(self.dtype).reshape(x.shape)
 
-        if not deterministic and self.drop_path_rate > 0.0:
+        rate = dp_rate if dp_rate is not None else self.drop_path_rate
+        needs_rng = not deterministic and (
+            dp_rate is not None or self.drop_path_rate > 0.0)
+        if needs_rng:
             rng = self.make_rng("dropout")
             rng1, rng2 = jax.random.split(rng)
         else:
             rng1 = rng2 = None
-        x = x + drop_path(part1(x), self.drop_path_rate, deterministic, rng1)
-        x = x + drop_path(part2(x), self.drop_path_rate, deterministic, rng2)
+        x = x + drop_path(part1(x), rate, deterministic, rng1)
+        x = x + drop_path(part2(x), rate, deterministic, rng2)
         return x
 
 
@@ -358,6 +367,41 @@ class PatchMerging(nn.Module):
         return x
 
 
+class _BlockPair(nn.Module):
+    """One (no-shift, shift) block pair — the scan body for scanned stages.
+
+    Under ``nn.scan`` the stage's N pairs share ONE traced program with
+    weight-stacked params (leading axis = n_pairs): the XLA program shrinks
+    ~depth/2-fold, which matters on relay-backed TPUs where compile time is
+    the bottleneck (see PERF.md)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    shift: Tuple[int, int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    attn_impl: str
+    layer_norm_eps: float
+    deterministic: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, dpr: Array):
+        common = dict(
+            dim=self.dim, num_heads=self.num_heads,
+            window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_impl=self.attn_impl, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype)
+        x = SwinBlock3D(shift_size=(0, 0, 0), name="a", **common)(
+            x, self.deterministic, dpr[0])
+        x = SwinBlock3D(shift_size=self.shift, name="b", **common)(
+            x, self.deterministic, dpr[1])
+        return x, None
+
+
 class BasicLayer(nn.Module):
     """One Swin stage: ``depth`` blocks alternating no-shift/shift, then
     optional PatchMerging (video_swin.py:308-368)."""
@@ -373,26 +417,48 @@ class BasicLayer(nn.Module):
     has_downsample: bool = False
     attn_impl: str = "xla"
     remat: bool = False
+    scan_blocks: bool = False
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         shift = tuple(w // 2 for w in self.window_size)
-        block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
-                     if self.remat else SwinBlock3D)
-        for i in range(self.depth):
-            x = block_cls(
+        if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
+            n_pairs = self.depth // 2
+            dpr = self.drop_path_rates or (0.0,) * self.depth
+            dpr_pairs = jnp.asarray(dpr, jnp.float32).reshape(n_pairs, 2)
+            pair_cls = _BlockPair
+            if self.remat:
+                pair_cls = nn.remat(_BlockPair)
+            scanned = nn.scan(
+                pair_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0, length=n_pairs)
+            x, _ = scanned(
                 dim=self.dim, num_heads=self.num_heads,
-                window_size=self.window_size,
-                shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                window_size=self.window_size, shift=shift,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale,
-                drop_path_rate=(self.drop_path_rates[i]
-                                if self.drop_path_rates else 0.0),
-                attn_impl=self.attn_impl,
-                layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
-                name=f"blocks_{i}")(x, deterministic)
+                qk_scale=self.qk_scale, attn_impl=self.attn_impl,
+                layer_norm_eps=self.layer_norm_eps,
+                deterministic=deterministic, dtype=self.dtype,
+                name="blocks_scan")(x, dpr_pairs)
+        else:
+            block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
+                         if self.remat else SwinBlock3D)
+            for i in range(self.depth):
+                x = block_cls(
+                    dim=self.dim, num_heads=self.num_heads,
+                    window_size=self.window_size,
+                    shift_size=(0, 0, 0) if i % 2 == 0 else shift,
+                    mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                    qk_scale=self.qk_scale,
+                    drop_path_rate=(self.drop_path_rates[i]
+                                    if self.drop_path_rates else 0.0),
+                    attn_impl=self.attn_impl,
+                    layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
+                    name=f"blocks_{i}")(x, deterministic)
         if self.has_downsample:
             x = PatchMerging(dim=self.dim, layer_norm_eps=self.layer_norm_eps,
                              dtype=self.dtype, name="downsample")(x)
@@ -467,6 +533,7 @@ class VideoSwin3D(nn.Module):
                 has_downsample=i < num_layers - 1,
                 attn_impl=cfg.attn_impl,
                 remat=cfg.remat,
+                scan_blocks=cfg.scan_blocks,
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
                 name=f"layers_{i}")(x, deterministic=deterministic)

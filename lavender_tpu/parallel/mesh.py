@@ -68,19 +68,22 @@ def param_pspecs(params) -> Any:
     """PartitionSpec pytree for the model params under (data, model)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
-    def spec_for(path) -> P:
+    def spec_for(path, leaf) -> P:
         key = "/".join(
             p.key if hasattr(p, "key") else str(p) for p in path)
         for pat, spec in _PARAM_RULES:
             if pat.search(key):
+                # scanned stages stack params with extra leading axes
+                # (blocks_scan); pad the spec with leading Nones
+                extra = getattr(leaf, "ndim", len(spec)) - len(spec)
+                if extra > 0:
+                    spec = P(*((None,) * extra + tuple(spec)))
                 return spec
         return P()
 
-    specs = {".".join(str(p) for p in path): spec_for(path)
-             for path, _ in flat}
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(params),
-        [spec_for(path) for path, _ in flat])
+        [spec_for(path, leaf) for path, leaf in flat])
 
 
 def shard_params(params, mesh: Mesh):

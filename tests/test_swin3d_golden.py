@@ -111,3 +111,50 @@ def test_swin_golden_odd_spatial_padding():
     cfg = SwinConfig(embed_dim=8, depths=(2,), num_heads=(2,),
                      window_size=(8, 7, 7), drop_path_rate=0.0)
     _compare(cfg, B=1, T=2, H=40, W=40)
+
+
+def test_swin_scan_blocks_golden():
+    """Scanned-stage layout (weight-stacked lax.scan pairs) must match the
+    torch reference exactly after converting + stacking the weights."""
+    import dataclasses
+    from lavender_tpu.convert import swin_to_scan_layout
+    cfg = SwinConfig(embed_dim=8, depths=(2, 4), num_heads=(2, 4),
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=True)
+    torch.manual_seed(3)
+    ref = video_swin.SwinTransformer3D(
+        pretrained=None, pretrained2d=False,
+        patch_size=list(cfg.patch_size), embed_dim=cfg.embed_dim,
+        depths=list(cfg.depths), num_heads=list(cfg.num_heads),
+        window_size=cfg.window_size, drop_path_rate=0.0)
+    ref.eval()
+    params = swin_to_scan_layout(
+        convert_state_dict(ref.state_dict()), cfg.depths)
+    model = swin3d.VideoSwin3D(cfg)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    y_ref = y_ref.numpy().transpose(0, 2, 3, 4, 1)
+    y = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    err = np.max(np.abs(y - y_ref)) / max(1e-6, np.max(np.abs(y_ref)))
+    assert err < 2e-4, err
+
+
+def test_swin_scan_matches_unrolled_gradients():
+    """scan and unrolled paths share math: same outputs AND same grads when
+    params are re-laid-out."""
+    import dataclasses
+    from lavender_tpu.convert import swin_to_scan_layout
+    cfg = SwinConfig(embed_dim=8, depths=(4,), num_heads=(2,),
+                     window_size=(8, 7, 7), drop_path_rate=0.0)
+    m_unroll = swin3d.VideoSwin3D(cfg)
+    m_scan = swin3d.VideoSwin3D(dataclasses.replace(cfg, scan_blocks=True))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 2, 14, 14, 3).astype(np.float32))
+    v = m_unroll.init(jax.random.PRNGKey(0), x)
+    scan_params = swin_to_scan_layout(v["params"], cfg.depths)
+    y1 = m_unroll.apply(v, x)
+    y2 = m_scan.apply({"params": scan_params}, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=2e-5, rtol=1e-4)
