@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"],
                     help="window-attention implementation")
+    ap.add_argument("--no-scan", action="store_true",
+                    help="disable scan-over-layers (debug)")
     ap.add_argument("--tiny", action="store_true", help="tiny model (debug)")
     args = ap.parse_args()
 
@@ -56,7 +58,8 @@ def main():
     else:
         swin = SWIN_PRESETS["base"]
         bert = BertConfig()
-    swin = dataclasses.replace(swin, attn_impl=args.attn)
+    swin = dataclasses.replace(swin, attn_impl=args.attn,
+                               scan_blocks=not args.no_scan)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 

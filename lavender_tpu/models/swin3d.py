@@ -120,6 +120,50 @@ def compute_shift_mask(D: int, H: int, W: int,
     return attn_mask
 
 
+def relative_position_index_jnp(window_size: Tuple[int, int, int]) -> Array:
+    """relative_position_index built from iota arithmetic ON DEVICE.
+
+    Numpy constants of this size ([N, N] per stage, plus the [nW, N, N]
+    shift masks) get inlined as MLIR literals; on a remote-compile backend
+    that bloats the module by tens of MB and dominates compile time — so
+    everything is computed from iota instead (zero literals).
+    """
+    wd, wh, ww = window_size
+    N = wd * wh * ww
+    idx = jnp.arange(N, dtype=jnp.int32)
+    d = idx // (wh * ww)
+    h = (idx // ww) % wh
+    w = idx % ww
+    rel_d = d[:, None] - d[None, :] + (wd - 1)
+    rel_h = h[:, None] - h[None, :] + (wh - 1)
+    rel_w = w[:, None] - w[None, :] + (ww - 1)
+    return (rel_d * (2 * wh - 1) * (2 * ww - 1)
+            + rel_h * (2 * ww - 1) + rel_w)
+
+
+def compute_shift_mask_jnp(D: int, H: int, W: int,
+                           window_size: Tuple[int, int, int],
+                           shift_size: Tuple[int, int, int]) -> Array:
+    """compute_shift_mask built on device (see relative_position_index_jnp
+    for why).  Same -100/0 semantics as the numpy oracle."""
+    def region(n, w, s):
+        # slices (0, n-w), (n-w, n-s), (n-s, n); s == 0 -> everything is
+        # region 2 (matches the reference's slice(-0, None) == full slice)
+        i = jnp.arange(n, dtype=jnp.int32)
+        if s == 0:
+            return jnp.full((n,), 2, jnp.int32)
+        return jnp.where(i < n - w, 0, jnp.where(i < n - s, 1, 2))
+
+    rd = region(D, window_size[0], shift_size[0])
+    rh = region(H, window_size[1], shift_size[1])
+    rw = region(W, window_size[2], shift_size[2])
+    cnt = (rd[:, None, None] * 9 + rh[None, :, None] * 3
+           + rw[None, None, :]).astype(jnp.float32)
+    m = window_partition(cnt[None, :, :, :, None], window_size)[..., 0]
+    diff = m[:, None, :] - m[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
+
+
 def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
     """Stochastic depth per sample (video_swin.py:46-54).
 
@@ -220,7 +264,7 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
              * (2 * self.window_size[2] - 1), nH))
-        rpi = relative_position_index(tuple(self.window_size))[:N, :N]
+        rpi = relative_position_index_jnp(tuple(self.window_size))[:N, :N]
         bias = table[rpi.reshape(-1)].reshape(N, N, nH)
         bias = bias.transpose(2, 0, 1)  # [nH, N, N]
 
@@ -298,8 +342,8 @@ class SwinBlock3D(nn.Module):
                 h = jnp.roll(
                     h, shift=(-shift_size[0], -shift_size[1], -shift_size[2]),
                     axis=(1, 2, 3))
-                attn_mask = jnp.asarray(compute_shift_mask(
-                    Dp, Hp, Wp, window_size, shift_size))
+                attn_mask = compute_shift_mask_jnp(
+                    Dp, Hp, Wp, window_size, shift_size)
             else:
                 attn_mask = None
 

@@ -158,3 +158,20 @@ def test_swin_scan_matches_unrolled_gradients():
     y2 = m_scan.apply({"params": scan_params}, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_device_built_masks_match_numpy():
+    """iota-built rel-pos index and shift mask == numpy oracles (the device
+    variants exist to keep multi-MB literals out of the compiled program)."""
+    for ws in [(2, 7, 7), (3, 5, 5), (8, 7, 7)]:
+        np.testing.assert_array_equal(
+            np.asarray(swin3d.relative_position_index_jnp(ws)),
+            swin3d.relative_position_index(ws))
+    for (D, H, W), ws, ss in [
+        ((4, 14, 14), (2, 7, 7), (1, 3, 3)),
+        ((5, 14, 14), (5, 7, 7), (0, 3, 3)),   # zero temporal shift
+        ((4, 21, 14), (2, 7, 7), (1, 3, 3)),
+    ]:
+        np.testing.assert_array_equal(
+            np.asarray(swin3d.compute_shift_mask_jnp(D, H, W, ws, ss)),
+            swin3d.compute_shift_mask(D, H, W, ws, ss))
