@@ -41,6 +41,10 @@ def main():
         pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.attn == "pallas":
+            # Mosaic kernels only lower on TPU; the CPU path is a
+            # correctness smoke, so silently use the XLA oracle instead
+            args.attn = "xla"
     import jax.numpy as jnp
 
     from lavender_tpu.config import (
@@ -66,8 +70,9 @@ def main():
     B, T, S, L = args.batch, args.frames, args.size, args.size_txt + 1
     img_u8 = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (B, T, S, S, 3), np.uint8))
-    txt = jnp.asarray(
-        np.random.RandomState(1).randint(1000, 2000, (B, L), np.int32))
+    # keep ids in-vocab: out-of-range gathers fill NaN on the CPU backend
+    txt = jnp.asarray(np.random.RandomState(1).randint(
+        1, bert.vocab_size, (B, L), np.int32))
     mask = jnp.ones((B, L), jnp.int32)
 
     img0 = device_normalize(img_u8, dtype=jnp.bfloat16)
