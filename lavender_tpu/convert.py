@@ -17,7 +17,7 @@ conversion is a mechanical rewrite:
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -222,6 +222,84 @@ def lavender_to_scan_layout(params: Dict, depths) -> Dict:
         enc["swin"] = swin_to_scan_layout(enc["swin"], depths)
         out["enc_img"] = enc
     return out
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75):
+    """Per-sample 4-tap cubic convolution weights (torch bicubic, A=-0.75)."""
+    def conv1(x):
+        return ((a + 2) * x - (a + 3)) * x * x + 1
+    def conv2(x):
+        return ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+    return np.stack([conv2(t + 1), conv1(t), conv1(1 - t), conv2(2 - t)],
+                    axis=-1)
+
+
+def _bicubic_resize(grid: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bicubic resize of ``grid [..., H, W]`` matching
+    ``torch.nn.functional.interpolate(mode='bicubic',
+    align_corners=False)`` (edge-clamped 4-tap cubic convolution)."""
+    def axis_resize(x, out_n):  # resample last axis
+        in_n = x.shape[-1]
+        src = (np.arange(out_n) + 0.5) * (in_n / out_n) - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        t = src - i0
+        w = _cubic_weights(t)  # [out_n, 4]
+        taps = np.stack([np.clip(i0 + d - 1, 0, in_n - 1) for d in range(4)],
+                        axis=-1)  # [out_n, 4]
+        return np.einsum("...nk,nk->...n", x[..., taps], w)
+
+    out = axis_resize(grid.astype(np.float64), out_w)
+    out = axis_resize(np.swapaxes(out, -1, -2), out_h)
+    return np.swapaxes(out, -1, -2).astype(grid.dtype)
+
+
+def inflate_swin2d_state_dict(sd: Mapping[str, Any],
+                              window_size: Tuple[int, int, int],
+                              patch_size_t: int) -> Dict[str, np.ndarray]:
+    """2D Swin -> 3D Video Swin weight inflation (the reference's
+    ``inflate_weights``, video_swin.py:482-533).
+
+    * ``patch_embed.proj.weight`` [O, I, kh, kw] is repeated over a new
+      temporal axis of length ``patch_size_t`` and divided by it (:506);
+    * each ``relative_position_bias_table`` [L1, nH] is bicubic-resized to
+      the 3D spatial window when sizes differ (:509-524) and tiled
+      ``2*wd - 1`` times over the temporal relative offsets (:527);
+    * ``relative_position_index`` / ``attn_mask`` buffers are dropped
+      (:496-504) — recomputed at trace time here anyway.
+    """
+    out = {}
+    for k, v in to_numpy_state_dict(sd).items():
+        if "relative_position_index" in k or "attn_mask" in k:
+            continue
+        out[k] = v
+    pe = out.get("patch_embed.proj.weight")
+    if pe is not None and pe.ndim == 4:
+        out["patch_embed.proj.weight"] = (
+            np.repeat(pe[:, :, None], patch_size_t, axis=2) / patch_size_t)
+    wd, wh, ww = window_size
+    th, tw = 2 * wh - 1, 2 * ww - 1
+    for k in [k for k in out if "relative_position_bias_table" in k]:
+        table = out[k]
+        L1, nH = table.shape
+        if L1 != th * tw:
+            S1 = int(round(L1 ** 0.5))
+            grid = table.T.reshape(nH, S1, S1)
+            table = _bicubic_resize(grid, th, tw).reshape(nH, th * tw).T
+        out[k] = np.tile(table, (2 * wd - 1, 1))
+    return out
+
+
+def convert_swin2d_checkpoint(sd: Mapping[str, Any], swin_cfg,
+                              ) -> Dict:
+    """Convert an ImageNet 2D Swin checkpoint ('model' state dict) to a
+    flax VideoSwin3D param tree via inflation (video_swin.py:571-645 selects
+    this path when ``pretrained2d``)."""
+    if isinstance(sd, dict) and "model" in sd and isinstance(
+            sd["model"], dict):
+        sd = sd["model"]
+    inflated = inflate_swin2d_state_dict(
+        sd, tuple(swin_cfg.window_size), int(swin_cfg.patch_size[0]))
+    return convert_state_dict(inflated)
 
 
 def remap_swinbert_keys(sd: Mapping[str, Any]) -> Dict[str, Any]:

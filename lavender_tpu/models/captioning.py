@@ -43,15 +43,20 @@ def caption_masking(txt: np.ndarray, pad_token_id: int, mask_token_id: int,
 
 
 def make_caption_loss_fn(model: LavenderModel, label_smoothing: float = 0.1,
-                         drop_worst_ratio: float = 0.0):
+                         drop_worst_ratio: float = 0.0, pretext=None):
     """Training: MLM under the seq2seq mask + CaptioningLoss
     (model_for_captioning.py:61-93 + :10-37)."""
 
     def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        fp, mp = common.apply_pretext(
+            pretext, {"params": params}, batch["img"].shape[0],
+            deterministic=False, rngs=rngs)
         logits, lp = common.fused_mlm_logits(
             model, {"params": params}, batch["img"], batch["txt"],
-            batch["mask"], attn_mask_type="seq2seq", deterministic=False,
-            rngs={"dropout": dropout_rng})
+            batch["mask"], feat_pre=fp, mask_pre=mp,
+            attn_mask_type="seq2seq", deterministic=False,
+            rngs=rngs)
         labels = common.pad_labels_for_pretxt(batch["ans_mtm"], lp)
         flat_logits = logits.reshape(-1, logits.shape[-1])
         flat_labels = labels.reshape(-1)

@@ -104,6 +104,41 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
 # ---- multi-host helpers (utils/dist.py equivalents) ----
 
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host process-group init (the reference's dist_init,
+    utils/dist.py:20-75, NCCL -> jax.distributed).
+
+    Mirrors the reference's env detection: explicit args win, then
+    OpenMPI's ``OMPI_COMM_WORLD_*`` (utils/dist.py:22-46), then the
+    launcher-style ``WORLD_SIZE``/``RANK``/``MASTER_ADDR``/``MASTER_PORT``
+    (:47-62), else single-process fallback (:63-68).  Returns True when a
+    multi-process group was initialized.  Safe to call twice.
+    """
+    import os
+    if jax.distributed.is_initialized():  # already up
+        return jax.process_count() > 1
+    env = os.environ
+    if coordinator_address is None:
+        if "OMPI_COMM_WORLD_SIZE" in env:
+            num_processes = int(env["OMPI_COMM_WORLD_SIZE"])
+            process_id = int(env["OMPI_COMM_WORLD_RANK"])
+            coordinator_address = (f'{env.get("MASTER_ADDR", "127.0.0.1")}:'
+                                   f'{env.get("MASTER_PORT", "29500")}')
+        elif int(env.get("WORLD_SIZE", "1")) > 1:
+            num_processes = int(env["WORLD_SIZE"])
+            process_id = int(env["RANK"])
+            coordinator_address = (f'{env.get("MASTER_ADDR", "127.0.0.1")}:'
+                                   f'{env.get("MASTER_PORT", "29500")}')
+        else:
+            return False  # single process; nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_count() > 1
+
+
 def process_index() -> int:
     return jax.process_index()
 
@@ -117,12 +152,26 @@ def is_main_process() -> bool:
 
 
 def all_gather_obj(obj):
-    """Gather picklable metrics across hosts (utils/dist.py:187-227 equiv).
+    """Gather an arbitrary picklable across hosts -> list, one entry per
+    process (the reference's byte-tensor all_gather, utils/dist.py:187-227).
 
-    Single-process: returns [obj].  Multi-host: uses
-    multihost_utils.process_allgather on arrays, or broadcast-of-bytes.
+    Arrays of identical shape go through ``process_allgather`` directly;
+    anything else is pickled, length-gathered, zero-padded to the max byte
+    length, gathered, and unpickled — the exact size-pad protocol of the
+    reference.  Single-process: returns ``[obj]``.
     """
     if jax.process_count() == 1:
         return [obj]
+    import pickle
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(obj))
+    buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64))  # [P, 1]
+    max_size = int(sizes.max())
+    padded = np.zeros((max_size,), np.uint8)
+    padded[: buf.size] = buf
+    gathered = multihost_utils.process_allgather(padded)  # [P, max_size]
+    out = []
+    for rank, size in enumerate(np.ravel(sizes).tolist()):
+        out.append(pickle.loads(gathered[rank, :size].tobytes()))
+    return out

@@ -87,6 +87,49 @@ def pad_labels_for_pretxt(labels: Array, pretxt_len: int) -> Array:
     return jnp.concatenate([pad, labels], axis=1)
 
 
+def make_pretext_fn(model, mcfg, task_name: Optional[str] = None,
+                    prompt: Optional[Tuple] = None):
+    """Build the per-step pretext producer, or None when disabled.
+
+    Mirrors LAVENDER_Base.get_pretxt (model.py:248-290): with
+    ``enable_task_token`` the learned ``emb_task[task_id]`` row is the single
+    pretext feature; with ``enable_prompt`` the dataset's prompt token ids
+    (dataset.get_prompt, dataset.py:72-81) are run through the text encoder
+    and broadcast over the batch.  Returns
+    ``fn(variables, batch_size, deterministic=True, rngs=None) ->
+    (feat_pre [B, Lp, H], mask_pre [B, Lp])``.
+    """
+    from lavender_tpu.models.lavender import LavenderModel
+    if mcfg.enable_task_token and task_name is not None:
+        def task_fn(variables, batch_size, deterministic=True, rngs=None):
+            return model.apply(variables, task_name, batch_size,
+                               method=LavenderModel.task_feat)
+        return task_fn
+    if mcfg.enable_prompt and prompt is not None:
+        prompt_ids = jnp.asarray(prompt[0], jnp.int32)
+        prompt_mask = jnp.asarray(prompt[1], jnp.int32)
+
+        def prompt_fn(variables, batch_size, deterministic=True, rngs=None):
+            feat = model.apply(
+                variables, prompt_ids, batch_size,
+                deterministic=deterministic,
+                method=LavenderModel.encode_prompt, rngs=rngs)
+            mask = jnp.broadcast_to(
+                prompt_mask[None], (batch_size, prompt_mask.shape[0]))
+            return feat, mask
+        return prompt_fn
+    return None
+
+
+def apply_pretext(pretext, variables, batch_size: int,
+                  deterministic: bool = True, rngs=None):
+    """(feat_pre, mask_pre) from a make_pretext_fn result, or (None, None)."""
+    if pretext is None:
+        return None, None
+    return pretext(variables, batch_size, deterministic=deterministic,
+                   rngs=rngs)
+
+
 def fused_mlm_logits(model, variables, img: Array, txt: Array, mask: Array,
                      feat_pre: Optional[Array] = None,
                      mask_pre: Optional[Array] = None,
@@ -101,10 +144,22 @@ def fused_mlm_logits(model, variables, img: Array, txt: Array, mask: Array,
     fi, mi, ft, mt = model.apply(
         variables, img, txt, mask, attn_mask_type=attn_mask_type,
         deterministic=deterministic, method=LavenderModel.go_feat, rngs=rngs)
-    ft, mt, lp = prepend_pretxt(ft, mt, feat_pre, mask_pre)
     Lv = fi.shape[1]
-    out = model.apply(
-        variables, fi, mi, ft, mt, attn_mask_type=attn_mask_type,
-        deterministic=deterministic, method=LavenderModel.go_cross, rngs=rngs)
+    lp = 0 if feat_pre is None else feat_pre.shape[1]
+    if feat_pre is not None:
+        # pretext features ride the text stream (prepro_txt_inputs,
+        # model.py:292-306) but their mask goes through go_cross's
+        # mask_pretxt so seq2seq keeps them in the full-attention prefix
+        # (model_for_captioning.py:85-91, get_attn_mask model.py:200-216)
+        ft = jnp.concatenate([feat_pre.astype(ft.dtype), ft], axis=1)
+        out = model.apply(
+            variables, fi, mi, ft, mt, attn_mask_type=attn_mask_type,
+            mask_pretxt=mask_pre, deterministic=deterministic,
+            method=LavenderModel.go_cross, rngs=rngs)
+    else:
+        out = model.apply(
+            variables, fi, mi, ft, mt, attn_mask_type=attn_mask_type,
+            deterministic=deterministic, method=LavenderModel.go_cross,
+            rngs=rngs)
     logits = model.apply(variables, out[:, Lv:], method=LavenderModel.mlm_head)
     return logits, lp

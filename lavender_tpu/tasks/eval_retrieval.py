@@ -102,25 +102,62 @@ def make_feat_fn(model: LavenderModel):
     return feat_fn
 
 
+def _pair_score(model, variables, feat_img, mask_img, feat_txt, mask_txt,
+                true_id: int, false_id: int, head: str):
+    """Fuse one pair batch -> score: MLM p_true/(p_true+p_false) at the
+    appended [MASK] (eval_retrieval_mlm.py:39-47) or the scalar match head
+    (eval_retrieval_task_specific.py:39-47)."""
+    Lv = feat_img.shape[1]
+    out = model.apply(variables, feat_img, mask_img, feat_txt, mask_txt,
+                      method=LavenderModel.go_cross)
+    if head == "ts":
+        score = model.apply(variables, out[:, Lv], True,
+                            method=lambda m, x, d: m.fc(x, deterministic=d))
+        return score.astype(jnp.float32)[:, 0]
+    logits = model.apply(variables, out[:, Lv:],
+                         method=LavenderModel.mlm_head)
+    last = logits[:, -1, :].astype(jnp.float32)
+    p_true, p_false = last[:, true_id], last[:, false_id]
+    return p_true / (p_true + p_false)
+
+
 def make_cross_fn(model: LavenderModel, true_id: int, false_id: int,
-                  mask_pos: int = -1):
-    """Phase 'cross': fuse cached features, score p_true/(p_true+p_false) at
-    the appended [MASK] (eval_retrieval_mlm.py:39-47, 199-206)."""
+                  mask_pos: int = -1, head: str = "mlm"):
+    """Phase 'cross', one pair batch per device call (kept for tests /
+    small corpora)."""
 
     @jax.jit
     def cross_fn(variables, feat_img, mask_img, feat_txt, mask_txt):
-        Lv = feat_img.shape[1]
-        out = model.apply(
-            variables, feat_img, mask_img, feat_txt, mask_txt,
-            method=LavenderModel.go_cross)
-        logits = model.apply(variables, out[:, Lv + mask_pos if mask_pos >= 0
-                                            else Lv:],
-                             method=LavenderModel.mlm_head)
-        last = logits[:, -1, :].astype(jnp.float32)
-        p_true, p_false = last[:, true_id], last[:, false_id]
-        return p_true / (p_true + p_false)
+        return _pair_score(model, variables, feat_img, mask_img, feat_txt,
+                           mask_txt, true_id, false_id, head)
 
     return cross_fn
+
+
+def make_cross_scan_fn(model: LavenderModel, true_id: int, false_id: int,
+                       head: str = "mlm"):
+    """Phase 'cross' as ONE device call: ``lax.scan`` over pair chunks.
+
+    The relay adds ~150 ms per device call; a 1k x 1k corpus at 64
+    pairs/call is ~40 min of pure round-trips (round-1 weak #5).  Here the
+    whole pair list rides one jit: cached features live on device and each
+    scan step gathers its chunk.  Returns
+    ``scan_fn(variables, FV, MV, FT, MT, t_idx [n,c], v_idx [n,c]) ->
+    scores [n, c]``.
+    """
+
+    @jax.jit
+    def scan_fn(variables, FV, MV, FT, MT, t_idx, v_idx):
+        def body(_, tv):
+            ti, vi = tv
+            s = _pair_score(model, variables, FV[vi], MV[vi], FT[ti], MT[ti],
+                            true_id, false_id, head)
+            return None, s
+
+        _, scores = jax.lax.scan(body, None, (t_idx, v_idx))
+        return scores
+
+    return scan_fn
 
 
 def dual_encoder_scores(featv: Dict, featt: Dict, vids, tids) -> np.ndarray:
@@ -146,19 +183,24 @@ def full_retrieval_eval(model: LavenderModel, variables,
                         batch_size: int = 16,
                         pair_batch: int = 64,
                         loader=None,
-                        rerank_top_k: int = 0) -> Dict[str, float]:
+                        rerank_top_k: int = -1,
+                        head: str = "mlm") -> Dict[str, float]:
     """Run both phases and compute R@1/5/10 + MedR
-    (eval_retrieval_mlm.py:138-241).
+    (eval_retrieval_mlm.py:138-241; head="ts" gives the scalar-head variant,
+    eval_retrieval_task_specific.py:133-244).
 
     rerank_top_k > 0 enables the two-tower prefilter: only each text's top-k
     videos by pooled cosine go through the fusion scorer (the rest keep the
     prefilter score, offset below the fusion range).  Cuts the O(T*V) fusion
     cost to O(T*k) with near-identical R@k when k >= 2x the recall horizon.
+    Default (-1): auto — k=50 for corpora > 200 videos (5x the R@10
+    horizon), full product otherwise.
+
+    The cross phase runs as ONE jitted ``lax.scan`` over pair chunks (one
+    device call per corpus), not one call per chunk.
     """
     from lavender_tpu.data.loader import DataLoader
     feat_fn = make_feat_fn(model)
-    cross_fn = make_cross_fn(
-        model, dataset.true_token_id, dataset.false_token_id)
     dl = loader or DataLoader(dataset, batch_size, shuffle=False,
                               num_workers=4)
 
@@ -178,30 +220,39 @@ def full_retrieval_eval(model: LavenderModel, variables,
     vids = list(featv.keys())
     vid2idx = {v: i for i, v in enumerate(vids)}
     tids = sorted(featt.keys())
-    tid2row = {t: i for i, t in enumerate(tids)}
     n_t, n_v = len(tids), len(vids)
+    if rerank_top_k < 0:
+        rerank_top_k = 50 if n_v > 200 else 0
 
     if rerank_top_k and rerank_top_k < n_v:
         pre = dual_encoder_scores(featv, featt, vids, tids)
         # prefilter scores land strictly below the fusion range [0, 1]
         score = (pre.astype(np.float32) - pre.max() - 1.0) * 1e-3
         top = np.argsort(-pre, axis=1)[:, :rerank_top_k]
-        pairs = [(t, vids[j]) for i, t in enumerate(tids) for j in top[i]]
+        t_rows = np.repeat(np.arange(n_t), rerank_top_k)
+        v_cols = top.reshape(-1)
     else:
         score = np.zeros((n_t, n_v), np.float32)
-        pairs = [(t, v) for t in tids for v in vids]
+        t_rows = np.repeat(np.arange(n_t), n_v)
+        v_cols = np.tile(np.arange(n_v), n_t)
 
-    for start in range(0, len(pairs), pair_batch):
-        chunk = pairs[start:start + pair_batch]
-        pad = pair_batch - len(chunk)
-        chunk_p = chunk + [chunk[-1]] * pad
-        fi = jnp.asarray(np.stack([featv[v]["feat_img"] for _, v in chunk_p]))
-        mi = jnp.asarray(np.stack([featv[v]["mask_img"] for _, v in chunk_p]))
-        ft = jnp.asarray(np.stack([featt[t]["feat_txt"] for t, _ in chunk_p]))
-        mt = jnp.asarray(np.stack([featt[t]["mask_txt"] for t, _ in chunk_p]))
-        s = np.asarray(cross_fn(variables, fi, mi, ft, mt))
-        for (t, v), sc in zip(chunk, s[:len(chunk)]):
-            score[tid2row[t], vid2idx[v]] = sc
+    # device-resident feature banks + one scan over all pair chunks
+    FV = jnp.asarray(np.stack([featv[v]["feat_img"] for v in vids]))
+    MV = jnp.asarray(np.stack([featv[v]["mask_img"] for v in vids]))
+    FT = jnp.asarray(np.stack([featt[t]["feat_txt"] for t in tids]))
+    MT = jnp.asarray(np.stack([featt[t]["mask_txt"] for t in tids]))
+    n_pairs = len(t_rows)
+    n_chunks = (n_pairs + pair_batch - 1) // pair_batch
+    pad = n_chunks * pair_batch - n_pairs
+    t_idx = np.concatenate([t_rows, np.zeros(pad, np.int64)]).reshape(
+        n_chunks, pair_batch)
+    v_idx = np.concatenate([v_cols, np.zeros(pad, np.int64)]).reshape(
+        n_chunks, pair_batch)
+    scan_fn = make_cross_scan_fn(
+        model, dataset.true_token_id, dataset.false_token_id, head=head)
+    s = np.asarray(scan_fn(variables, FV, MV, FT, MT,
+                           jnp.asarray(t_idx), jnp.asarray(v_idx)))
+    score[t_rows, v_cols] = s.reshape(-1)[:n_pairs]
 
     gt = np.asarray([vid2idx[dataset.gt_txt2vid[t]] for t in tids])
     return recall_at_k(score, gt)

@@ -18,28 +18,39 @@ from lavender_tpu.tasks import qamc, qaoe, retmc, retrieval
 
 
 def build_multi_task_losses(model: LavenderModel, true_id: int,
-                            false_id: int,
-                            label_smoothing: float = 0.1) -> Dict[str, Callable]:
+                            false_id: int, label_smoothing: float = 0.1,
+                            pretexts: Dict[str, Callable] = None
+                            ) -> Dict[str, Callable]:
     """Loss-fn table keyed by task kind (LAVENDER_Multi_Task.forward
-    dispatch, main_multi_task_mlm.py:82-103)."""
+    dispatch, main_multi_task_mlm.py:82-103).  ``pretexts`` maps kind ->
+    pretext producer (add_prompt_or_task_token, :254-275)."""
+    p = pretexts or {}
     return {
-        "retrieval": retrieval.make_loss_fn(model, true_id, false_id),
-        "qamc": qamc.make_loss_fn(model),
-        "qaoe": qaoe.make_loss_fn(model),
-        "retmc": retmc.make_loss_fn(model),
-        "captioning": make_caption_loss_fn(model, label_smoothing),
+        "retrieval": retrieval.make_loss_fn(model, true_id, false_id,
+                                            pretext=p.get("retrieval")),
+        "qamc": qamc.make_loss_fn(model, pretext=p.get("qamc")),
+        "qaoe": qaoe.make_loss_fn(model, pretext=p.get("qaoe")),
+        "retmc": retmc.make_loss_fn(model, pretext=p.get("retmc")),
+        "captioning": make_caption_loss_fn(model, label_smoothing,
+                                           pretext=p.get("captioning")),
     }
 
 
 def build_multi_task_evals(model: LavenderModel, true_id: int, false_id: int,
-                           ans_tok_ids=None) -> Dict[str, Callable]:
+                           ans_tok_ids=None,
+                           pretexts: Dict[str, Callable] = None
+                           ) -> Dict[str, Callable]:
+    p = pretexts or {}
     evals = {
-        "retrieval": retrieval.make_eval_step(model, true_id, false_id),
-        "qaoe": qaoe.make_eval_step(model),
-        "retmc": retmc.make_eval_step(model, true_id, false_id),
+        "retrieval": retrieval.make_eval_step(model, true_id, false_id,
+                                              pretext=p.get("retrieval")),
+        "qaoe": qaoe.make_eval_step(model, pretext=p.get("qaoe")),
+        "retmc": retmc.make_eval_step(model, true_id, false_id,
+                                      pretext=p.get("retmc")),
     }
     if ans_tok_ids is not None:
-        evals["qamc"] = qamc.make_eval_step(model, ans_tok_ids)
+        evals["qamc"] = qamc.make_eval_step(model, ans_tok_ids,
+                                            pretext=p.get("qamc"))
     return evals
 
 

@@ -105,11 +105,15 @@ def sample_negatives(key, B: int, n_neg: int):
 
 
 def pretrain_forward(model: LavenderModel, variables, img, txt, mask,
-                     neg_idx, vt_mask=None, deterministic=True, rngs=None):
+                     neg_idx, vt_mask=None, feat_pre=None, mask_pre=None,
+                     deterministic=True, rngs=None):
     """MLM pass + VTM pass (LAVENDER_Pretrain_MLM.forward:55-119).
 
-    neg_idx: [B, O-1] negative text indices per video.
-    Returns (out_mtm [B,Lt,V], out_vtm [B*O,Lt,V]).
+    neg_idx: [B, O-1] negative text indices per video.  feat_pre/mask_pre
+    (batch B) are the VTM task-token/prompt features — the reference applies
+    pretext only to the VTM pass (prepro_txt_inputs with task_name="vtm" /
+    batch["vtm_prompt"], main_pretrain_mlm.py:78-99), not the MLM pass.
+    Returns (out_mtm [B,Lt,V], out_vtm [B*O,Lp+Lt,V]).
     """
     B = img.shape[0]
     fi, mi, ft, mt = model.apply(
@@ -125,14 +129,15 @@ def pretrain_forward(model: LavenderModel, variables, img, txt, mask,
                           method=LavenderModel.mlm_head)
 
     # pass 2: VTM — 1 positive + (O-1) in-batch negatives per video
+    vft, vmt, _ = common.prepend_pretxt(ft, mt, feat_pre, mask_pre)
     O = neg_idx.shape[1] + 1
     pair_idx = jnp.concatenate(
         [jnp.arange(B, dtype=neg_idx.dtype)[:, None], neg_idx], axis=1)
     flat = pair_idx.reshape(-1)  # [B*O] text index for each pair
     pfi = jnp.repeat(fi, O, axis=0)
     pmi = jnp.repeat(mi, O, axis=0)
-    pft = ft[flat]
-    pmt = mt[flat]
+    pft = vft[flat]
+    pmt = vmt[flat]
     out = model.apply(variables, pfi, pmi, pft, pmt,
                       deterministic=deterministic,
                       method=LavenderModel.go_cross, rngs=rngs)
@@ -142,7 +147,7 @@ def pretrain_forward(model: LavenderModel, variables, img, txt, mask,
 
 
 def make_loss_fn(model: LavenderModel, true_id: int, false_id: int,
-                 vtm_batch: int = 4):
+                 vtm_batch: int = 4, pretext=None):
     """Total pretrain loss = ls_mtm + ls_vtm (main_pretrain_mlm.py:158-163)."""
 
     def loss_fn(params, batch, dropout_rng):
@@ -152,10 +157,13 @@ def make_loss_fn(model: LavenderModel, true_id: int, false_id: int,
         O = min(B, vtm_batch)
         neg_key, drop_key = jax.random.split(dropout_rng)
         neg_idx = sample_negatives(neg_key, B, O - 1)
+        rngs = {"dropout": drop_key}
+        fp, mp = common.apply_pretext(pretext, {"params": params}, B,
+                                      deterministic=False, rngs=rngs)
         out_mtm, out_vtm = pretrain_forward(
             model, {"params": params}, img, txt, mask, neg_idx,
-            vt_mask=batch.get("vt_mask"), deterministic=False,
-            rngs={"dropout": drop_key})
+            vt_mask=batch.get("vt_mask"), feat_pre=fp, mask_pre=mp,
+            deterministic=False, rngs=rngs)
         ls_mtm = common.cross_entropy_ignore(out_mtm, ans_mtm)
         # VTM labels: true at the appended [MASK] (last position) of column 0
         labels = jnp.concatenate(

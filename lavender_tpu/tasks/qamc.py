@@ -20,8 +20,14 @@ from lavender_tpu.tasks import common
 
 
 class QAMCDataset(TsvTaskDataset):
-    def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw):
+    mlm = True  # class default (subclasses/tests may bypass __init__)
+    def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt,
+                 mlm: bool = True, **kw):
         super().__init__(cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw)
+        # mlm=False: the task-specific classifier baseline — plain
+        # tokenization, no inserted [MASK] (Dataset_QAMC_TS,
+        # main_qamc_task_specific.py:12-65)
+        self.mlm = mlm
         self.ans_tok_ids = tokzr.convert_tokens_to_ids(
             [f"{i}" for i in range(cfg.size_option)])
 
@@ -33,6 +39,8 @@ class QAMCDataset(TsvTaskDataset):
     def str2txt(self, s):
         """Tokenize with the [MASK] placed per mask_pos
         (main_qamc_mlm.py:19-66)."""
+        if not self.mlm:
+            return TsvTaskDataset.str2txt(self, s)
         toks = self.tokzr.tokenize(s)[: self.cfg.size_txt - 1]
         padding = [self.tokzr.pad_token] * (self.cfg.size_txt - len(toks))
         tz = self.tokzr
@@ -66,21 +74,28 @@ class QAMCDataset(TsvTaskDataset):
         for i in range(self.cfg.size_option):
             q = self.concat_txt(q, f"option {i}: " + item[f"option_{i}"])
         txt, mask = self.str2txt(q)
+        if not self.mlm:
+            return {"img": self.pad_frames(img), "txt": txt, "mask": mask,
+                    "ans": np.int32(ans_idx)}
         mask_ans = np.full(txt.shape, -1, np.int32)
         mask_ans[txt == self.mask_token_id] = ans_tok
         return {"img": self.pad_frames(img), "txt": txt, "mask": mask,
                 "mask_ans": mask_ans, "ans_idx": np.int32(ans_idx)}
 
 
-def make_eval_step(model: LavenderModel, ans_tok_ids: List[int]):
+def make_eval_step(model: LavenderModel, ans_tok_ids: List[int],
+                   pretext=None):
     """Eval: normalized probability over option digits at the [MASK]
     (main_qamc_mlm.py:159-170)."""
     ans_ids = jnp.asarray(ans_tok_ids)
 
     @jax.jit
     def step(variables, img, txt, mask, mask_ans, ans_idx):
-        logits, _ = common.fused_mlm_logits(model, variables, img, txt, mask)
-        opt = logits[..., ans_ids].astype(jnp.float32)  # [B, Lt, n_opt]
+        fp, mp = common.apply_pretext(pretext, variables, img.shape[0])
+        logits, lp = common.fused_mlm_logits(model, variables, img, txt, mask,
+                                             feat_pre=fp, mask_pre=mp)
+        mask_ans = common.pad_labels_for_pretxt(mask_ans, lp)
+        opt = logits[..., ans_ids].astype(jnp.float32)  # [B, Lp+Lt, n_opt]
         at_mask = (mask_ans != -1)[..., None]
         scores = jnp.sum(jnp.where(at_mask, opt, 0.0), axis=1)  # [B, n_opt]
         pred = jnp.argmax(scores, axis=-1)
@@ -89,12 +104,16 @@ def make_eval_step(model: LavenderModel, ans_tok_ids: List[int]):
     return step
 
 
-def make_loss_fn(model: LavenderModel):
+def make_loss_fn(model: LavenderModel, pretext=None):
     def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        fp, mp = common.apply_pretext(
+            pretext, {"params": params}, batch["img"].shape[0],
+            deterministic=False, rngs=rngs)
         logits, lp = common.fused_mlm_logits(
             model, {"params": params}, batch["img"], batch["txt"],
-            batch["mask"], deterministic=False,
-            rngs={"dropout": dropout_rng})
+            batch["mask"], feat_pre=fp, mask_pre=mp, deterministic=False,
+            rngs=rngs)
         labels = common.pad_labels_for_pretxt(batch["mask_ans"], lp)
         return common.cross_entropy_ignore(logits, labels)
 

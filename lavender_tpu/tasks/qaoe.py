@@ -22,13 +22,18 @@ from lavender_tpu.tasks import common
 
 class QAOEDataset(TsvTaskDataset):
     """Dataset for open-ended QA-as-MLM (main_qaoe_mlm.py:13-88)."""
+    mlm = True  # class default (subclasses/tests may bypass __init__)
 
     def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt,
-                 label2ans: Optional[Dict] = None, **kw):
+                 label2ans: Optional[Dict] = None, mlm: bool = True, **kw):
         super().__init__(cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw)
         # LSMDC-FiB: dataset 'answer' indexes a vocab remapped to tokens
         # (main_qaoe_mlm_lsmdc_fib.py:39-47)
         self.label2ans = label2ans
+        # mlm=False: the size_vocab classifier baseline — plain question
+        # tokenization, 'answer' as class index (Dataset_QAOE_TS,
+        # main_qaoe_task_specific.py:12-62)
+        self.mlm = mlm
 
     @property
     def prompt_text(self):
@@ -60,6 +65,11 @@ class QAOEDataset(TsvTaskDataset):
         item = self.txt[idx]
         vid = item["video"]
         img = self.get_video(vid)
+        if not self.mlm:
+            txt, mask = TsvTaskDataset.str2txt(self, item["question"])
+            ans = int(item["answer"]) if self.has_video(vid) else -1
+            return {"img": self.pad_frames(img), "txt": txt, "mask": mask,
+                    "ans": np.int32(ans)}
         if "question" in item:
             txt, mask = self.str2txt(item["question"])
         else:  # LSMDC FiB: the [MASK] is already in the sentence
@@ -87,15 +97,18 @@ class QAOEFibDataset(QAOEDataset):
         return TsvTaskDataset.str2txt(self, s)
 
 
-def make_eval_step(model: LavenderModel, topk: int = 5):
+def make_eval_step(model: LavenderModel, topk: int = 5, pretext=None):
     """Top-1/top-5 accuracy at the masked position
     (main_qaoe_mlm_lsmdc_fib.py:115-126)."""
 
     @jax.jit
     def step(variables, img, txt, mask, mask_ans):
-        logits, _ = common.fused_mlm_logits(model, variables, img, txt, mask)
+        fp, mp = common.apply_pretext(pretext, variables, img.shape[0])
+        logits, lp = common.fused_mlm_logits(model, variables, img, txt, mask,
+                                             feat_pre=fp, mask_pre=mp)
         logits = logits.astype(jnp.float32)
-        at = mask_ans != -1  # [B, Lt]
+        mask_ans = common.pad_labels_for_pretxt(mask_ans, lp)
+        at = mask_ans != -1  # [B, Lp+Lt]
         # single masked position per row: gather its logits
         pos = jnp.argmax(at.astype(jnp.int32), axis=1)  # [B]
         row_logits = jnp.take_along_axis(
@@ -111,12 +124,16 @@ def make_eval_step(model: LavenderModel, topk: int = 5):
     return step
 
 
-def make_loss_fn(model: LavenderModel):
+def make_loss_fn(model: LavenderModel, pretext=None):
     def loss_fn(params, batch, dropout_rng):
+        rngs = {"dropout": dropout_rng}
+        fp, mp = common.apply_pretext(
+            pretext, {"params": params}, batch["img"].shape[0],
+            deterministic=False, rngs=rngs)
         logits, lp = common.fused_mlm_logits(
             model, {"params": params}, batch["img"], batch["txt"],
-            batch["mask"], deterministic=False,
-            rngs={"dropout": dropout_rng})
+            batch["mask"], feat_pre=fp, mask_pre=mp, deterministic=False,
+            rngs=rngs)
         labels = common.pad_labels_for_pretxt(batch["mask_ans"], lp)
         return common.cross_entropy_ignore(logits, labels)
 

@@ -18,12 +18,22 @@ from lavender_tpu.tasks import common
 
 
 class RetMCDataset(TsvTaskDataset):
+    mlm = True  # class default (subclasses/tests may bypass __init__)
+    def __init__(self, cfg, tokzr, split, img_tsv_path, id2lineidx, txt,
+                 mlm: bool = True, **kw):
+        super().__init__(cfg, tokzr, split, img_tsv_path, id2lineidx, txt, **kw)
+        # mlm=False: scalar-head baseline — no appended [MASK]
+        # (Dataset_RetMC_TS, main_retmc_task_specific.py:12-39)
+        self.mlm = mlm
+
     @property
     def prompt_text(self):
         return "is the video-text matched, true or false?"
 
     def str2txt(self, s):
         txt, mask = super().str2txt(s)
+        if not self.mlm:
+            return txt, mask
         return self.append_mask_tok2txt(txt, mask)
 
     def __getitem__(self, idx):
@@ -39,9 +49,13 @@ class RetMCDataset(TsvTaskDataset):
             ma[t == self.mask_token_id] = (
                 self.true_token_id if i == ans_idx else self.false_token_id)
             txts.append(t), masks.append(m), mask_ans.append(ma)
-        return {"img": self.pad_frames(img),
-                "txt": np.stack(txts), "mask": np.stack(masks),
-                "mask_ans": np.stack(mask_ans), "ans_idx": np.int32(ans_idx)}
+        out = {"img": self.pad_frames(img),
+               "txt": np.stack(txts), "mask": np.stack(masks),
+               "mask_ans": np.stack(mask_ans), "ans_idx": np.int32(ans_idx)}
+        if not self.mlm:
+            out.pop("mask_ans")
+            out["ans"] = out.pop("ans_idx")
+        return out
 
 
 class QAMCHeadDataset(RetMCDataset):
@@ -61,16 +75,19 @@ class QAMCHeadDataset(RetMCDataset):
 
 
 def option_logits(model: LavenderModel, variables, img, txt, mask,
+                  feat_pre=None, mask_pre=None,
                   deterministic=True, rngs=None):
-    """img [B,T,S,S,3], txt/mask [B,O,L] -> logits [B*O, L, V].
+    """img [B,T,S,S,3], txt/mask [B,O,L] -> logits [B*O, Lp+L, V].
 
     Mirrors LAVENDER_RetMC_MLM.forward (main_retmc_mlm.py:90-112): encode the
-    video once, broadcast per option.
+    video once, broadcast per option.  feat_pre/mask_pre (batch B*O) are
+    prepended per flattened pair (prepro_txt_inputs, model.py:292-306).
     """
     B, O, L = txt.shape
     fi, mi, ft, mt = model.apply(
         variables, img, txt.reshape(B * O, L), mask.reshape(B * O, L),
         deterministic=deterministic, method=LavenderModel.go_feat, rngs=rngs)
+    ft, mt, _ = common.prepend_pretxt(ft, mt, feat_pre, mask_pre)
     # go_feat encodes img at batch B; tile visual features per option
     Lv = fi.shape[1]
     fi = jnp.repeat(fi, O, axis=0)
@@ -81,11 +98,14 @@ def option_logits(model: LavenderModel, variables, img, txt, mask,
     return model.apply(variables, out[:, Lv:], method=LavenderModel.mlm_head)
 
 
-def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
+def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
+                   pretext=None):
     @jax.jit
     def step(variables, img, txt, mask, mask_ans, ans_idx):
         B, O, L = txt.shape
-        logits = option_logits(model, variables, img, txt, mask)
+        fp, mp = common.apply_pretext(pretext, variables, B * O)
+        logits = option_logits(model, variables, img, txt, mask,
+                               feat_pre=fp, mask_pre=mp)
         last = logits[:, -1, :].astype(jnp.float32).reshape(B, O, -1)
         p_true = last[..., true_id]
         p_false = last[..., false_id]
@@ -96,14 +116,19 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
     return step
 
 
-def make_loss_fn(model: LavenderModel):
+def make_loss_fn(model: LavenderModel, pretext=None):
     def loss_fn(params, batch, dropout_rng):
         txt = batch["txt"]
         B, O, L = txt.shape
+        rngs = {"dropout": dropout_rng}
+        fp, mp = common.apply_pretext(pretext, {"params": params}, B * O,
+                                      deterministic=False, rngs=rngs)
         logits = option_logits(
             model, {"params": params}, batch["img"], txt, batch["mask"],
-            deterministic=False, rngs={"dropout": dropout_rng})
+            feat_pre=fp, mask_pre=mp, deterministic=False, rngs=rngs)
         labels = batch["mask_ans"].reshape(B * O, L)
+        lp = 0 if fp is None else fp.shape[1]
+        labels = common.pad_labels_for_pretxt(labels, lp)
         return common.cross_entropy_ignore(logits, labels)
 
     return loss_fn

@@ -102,7 +102,8 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
     return logits, lp
 
 
-def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
+def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
+                   pretext=None):
     """Jitted in-batch retrieval eval (Agent_Retrieval_MLM.step eval branch,
     main_retrieval_mlm.py:108-118): score every pair at the appended [MASK]
     (last position), rank texts per video."""
@@ -110,7 +111,9 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
     @jax.jit
     def step(variables, img, txt, mask, vid):
         B = img.shape[0]
-        logits, _ = pairwise_mlm_logits(model, variables, img, txt, mask)
+        fp, mp = common.apply_pretext(pretext, variables, B)
+        logits, _ = pairwise_mlm_logits(model, variables, img, txt, mask,
+                                        feat_pre=fp, mask_pre=mp)
         last = logits[:, -1, :].astype(jnp.float32)  # [B*B, V]
         p_true = last[:, true_id]
         p_false = last[:, false_id]
@@ -123,7 +126,8 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int):
     return step
 
 
-def make_loss_fn(model: LavenderModel, true_id: int, false_id: int):
+def make_loss_fn(model: LavenderModel, true_id: int, false_id: int,
+                 pretext=None):
     """Training loss (Agent_Retrieval_MLM.step train branch): CE at the
     appended [MASK] against true/false."""
 
@@ -131,9 +135,12 @@ def make_loss_fn(model: LavenderModel, true_id: int, false_id: int):
         img, txt, mask, vid = (batch["img"], batch["txt"], batch["mask"],
                                batch["vid"])
         B = img.shape[0]
+        rngs = {"dropout": dropout_rng}
+        fp, mp = common.apply_pretext(pretext, {"params": params}, B,
+                                      deterministic=False, rngs=rngs)
         logits, _ = pairwise_mlm_logits(
-            model, {"params": params}, img, txt, mask, deterministic=False,
-            rngs={"dropout": dropout_rng})
+            model, {"params": params}, img, txt, mask, feat_pre=fp,
+            mask_pre=mp, deterministic=False, rngs=rngs)
         same = vid[:, None] == vid[None, :]
         labels = jnp.where(same, true_id, false_id).reshape(-1)
         last = logits[:, -1, :]

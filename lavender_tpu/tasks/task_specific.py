@@ -56,11 +56,14 @@ class LavenderTS(LavenderModel):
                        deterministic=deterministic)
 
 
-class LavenderMultiHead(LavenderModel):
-    """Multi-task baseline with per-task heads ``fc_<task>``.
+class LavenderMultiHead(LavenderTS):
+    """Multi-task baseline with per-task heads ``fc_<task>`` plus the
+    shared scalar retrieval/VTM head ``fc`` inherited from LavenderTS.
 
-    Reference: main_multi_task_multi_head.py:81-109 — one 2-layer MLP per
-    dataset/task combo.  heads: tuple of (name, out_dim).
+    Reference: main_multi_task_multi_head.py:80-105 — a scalar ``fc`` (:81)
+    and one 2-layer MLP per dataset/task combo (``fc_<key>``, :87-105).
+    heads: tuple of (name, out_dim); '-' in names becomes '_' like the
+    reference's key_attr (:88).
     """
 
     heads: Tuple[Tuple[str, int], ...] = ()
@@ -69,11 +72,12 @@ class LavenderMultiHead(LavenderModel):
         super().setup()
         self.fcs = {
             name: MLPHead(self.config.hidden_size, out,
-                          dtype=self.dtype, name=f"fc_{name}")
+                          dtype=self.dtype,
+                          name=f"fc_{name.replace('-', '_')}")
             for name, out in self.heads}
 
     def init_forward(self, img: Array, txt: Array, mask: Array) -> Array:
-        logits = LavenderModel.__call__(self, img, txt, mask)
+        logits = LavenderTS.init_forward(self, img, txt, mask)
         z = jnp.zeros((1, self.config.hidden_size), self.dtype)
         for name, _ in self.heads:
             _ = self.fcs[name](z)
@@ -198,6 +202,54 @@ def make_retmc_ts_loss(model: LavenderTS):
         return common.cross_entropy_ignore(score, batch["ans"])
 
     return loss_fn
+
+
+def make_multi_head_losses(model: LavenderMultiHead, temp: float,
+                           kinds: dict, label_smoothing: float = 0.1):
+    """Per-entry loss table for the multi-head baseline
+    (main_multi_task_multi_head.py:110-242): retrieval entries use the
+    shared scalar ``fc`` + NormSoftmax (:239-240); qamc/qaoe entries use
+    their own ``fc_<name>`` head + CE (:241-242); captioning uses the MLM
+    head + caption loss.
+
+    kinds: entry name -> kind ("retrieval"|"qamc"|"qaoe"|"captioning").
+    """
+    from lavender_tpu.models.captioning import make_caption_loss_fn
+
+    def make_head_cls_loss(name):
+        def loss_fn(params, batch, dropout_rng):
+            logits = model.apply(
+                {"params": params}, name, batch["img"], batch["txt"],
+                batch["mask"], deterministic=False,
+                rngs={"dropout": dropout_rng},
+                method=LavenderMultiHead.head_forward)
+            return common.cross_entropy_ignore(logits, batch["ans"])
+        return loss_fn
+
+    losses = {}
+    for name, kind in kinds.items():
+        if kind == "retrieval":
+            losses[name] = make_retrieval_ts_loss(model, temp)
+        elif kind == "captioning":
+            losses[name] = make_caption_loss_fn(model, label_smoothing)
+        else:  # qamc / qaoe classifier heads
+            losses[name] = make_head_cls_loss(name)
+    return losses
+
+
+def make_head_cls_eval(model: LavenderMultiHead, name: str):
+    """Eval for a per-dataset classifier head (argmax accuracy)."""
+
+    @jax.jit
+    def step(variables, img, txt, mask, ans):
+        logits = model.apply(variables, name, img, txt, mask,
+                             method=LavenderMultiHead.head_forward)
+        pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+        valid = ans != -1
+        return logits, jnp.where(valid, pred == ans, False).astype(
+            jnp.float32)
+
+    return step
 
 
 def make_pretrain_ts_loss(model: LavenderTS, temp: float = 1.0,
