@@ -232,6 +232,27 @@ class _MlpParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _WinAttnParams(nn.Module):
+    """WindowAttention3D's params without the op — param-tree-compatible
+    with WindowAttention3D (same names/shapes) for the fused block kernel."""
+
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(stddev=0.02),
+            ((2 * self.window_size[0] - 1) * (2 * self.window_size[1] - 1)
+             * (2 * self.window_size[2] - 1), self.num_heads))
+        return wqkv, bqkv, wproj, bproj, table
+
+
 class WindowAttention3D(nn.Module):
     """Window multi-head self-attention with 3D relative position bias.
 
@@ -317,6 +338,74 @@ class SwinBlock3D(nn.Module):
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, self.shift_size)
 
+        hidden_f = int(self.dim * self.mlp_ratio)
+        n2_scale, n2_bias = _LNParams(self.dim, name="norm2")()
+        k1, b1, k2, b2 = _MlpParams(self.dim, hidden_f, name="mlp")()
+
+        from lavender_tpu.ops.swin_block_attn import supports_fused_block
+        fused_ok = (self.attn_impl == "fused" and self.qkv_bias
+                    and supports_fused_block(D, H, W, window_size))
+        if fused_ok:
+            # whole-block fused path (ops/swin_block_attn.py): declares the
+            # SAME param tree as the module path, so checkpoints and golden
+            # tests are layout-identical.
+            from lavender_tpu.ops.swin_block_attn import (
+                fused_swin_block_attn, swin_block_attn_reference)
+            n1_scale, n1_bias = _LNParams(self.dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj, table = _WinAttnParams(
+                dim=self.dim, window_size=tuple(self.window_size),
+                num_heads=self.num_heads, qkv_bias=True, name="attn")()
+            N = int(np.prod(window_size))
+            rpi = relative_position_index_jnp(
+                tuple(self.window_size))[:N, :N]
+            bias = table[rpi.reshape(-1)].reshape(N, N, self.num_heads)
+            bias = bias.transpose(2, 0, 1)
+            scale = self.qk_scale or (C // self.num_heads) ** -0.5
+            args = (n1_scale, n1_bias, wqkv.astype(self.dtype),
+                    bqkv.astype(self.dtype), wproj.astype(self.dtype),
+                    bproj.astype(self.dtype), bias.astype(jnp.float32))
+            rate = dp_rate if dp_rate is not None else self.drop_path_rate
+            use_dp = not deterministic and (
+                dp_rate is not None or self.drop_path_rate > 0.0)
+            if not use_dp:
+                x = fused_swin_block_attn(
+                    x, *args, window_size, shift_size, self.num_heads,
+                    scale, self.layer_norm_eps)
+            else:
+                # training-with-drop-path or odd shapes: reference math on
+                # the same params
+                shift_mask = None
+                if any(s > 0 for s in shift_size):
+                    shift_mask = compute_shift_mask_jnp(
+                        D, H, W, window_size, shift_size)
+                full = swin_block_attn_reference(
+                    x, *args, window_size, shift_size, self.num_heads,
+                    scale, self.layer_norm_eps, shift_mask)
+                attn_out = full - x
+                if use_dp:
+                    rng1 = self.make_rng("dropout")
+                    x = x + drop_path(attn_out, rate, deterministic, rng1)
+                else:
+                    x = full
+
+            def part2_fused(x):
+                from lavender_tpu.ops.fused_mlp import (
+                    fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
+                flat = x.reshape(-1, C)
+                if weights_fit_vmem(C, hidden_f):
+                    out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1,
+                                       k2, b2, self.layer_norm_eps)
+                else:
+                    out = ln_mlp_reference(flat, n2_scale, n2_bias, k1, b1,
+                                           k2, b2, self.layer_norm_eps)
+                return out.astype(self.dtype).reshape(x.shape)
+
+            mlp_out = part2_fused(x)
+            if use_dp:
+                rng2 = self.make_rng("dropout")
+                return x + drop_path(mlp_out, rate, deterministic, rng2)
+            return x + mlp_out
+
         norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name="norm1")
         attn = WindowAttention3D(
@@ -324,9 +413,6 @@ class SwinBlock3D(nn.Module):
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_impl=self.attn_impl,
             dtype=self.dtype, name="attn")
-        hidden_f = int(self.dim * self.mlp_ratio)
-        n2_scale, n2_bias = _LNParams(self.dim, name="norm2")()
-        k1, b1, k2, b2 = _MlpParams(self.dim, hidden_f, name="mlp")()
 
         def part1(x):
             h = norm1(x)
@@ -363,7 +449,7 @@ class SwinBlock3D(nn.Module):
             from lavender_tpu.ops.fused_mlp import (
                 fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
             flat = x.reshape(-1, C)
-            if (self.attn_impl == "pallas"
+            if (self.attn_impl in ("pallas", "fused")
                     and weights_fit_vmem(C, hidden_f)):
                 out = fused_ln_mlp(
                     flat, n2_scale, n2_bias, k1, b1, k2, b2,

@@ -1,0 +1,364 @@
+"""Whole-block fused Swin attention — Pallas TPU kernel.
+
+Round-1 profiling (PERF.md): at stage 1 of Swin-B the attention half of a
+block costs ~21 ms at batch 16 — LN 3.4 ms, window partition/reverse +
+rolls 3.3 ms (pure transposes), attention path 14 ms — about 2% of MXU
+peak.  The XLA path is layout-bound: window partition reshapes 7-token
+tiles across the sublane dimension, forcing relayouts on every step.
+
+This kernel absorbs **norm1 + window partition + qkv + attention (+rel-pos
+bias, +shift mask) + window reverse + output projection + residual** into
+one pallas_call whose BlockSpec IS the window partition:
+
+* the host pads the window's lane-minor spatial dim to a multiple of 8
+  (7 -> 8) so every in-kernel reshape is a free sublane-tile merge — no
+  relayouts anywhere;
+* grid = (B, window-rows); each step owns an [D, wh, Wp, C] slab: LN once,
+  then a rolled fori over (window, head) computing per-head thin matmuls
+  with f32 accumulation; the head loop accumulates directly into the
+  projection output so no [N, C] head-concat (and no 32-lane slicing)
+  exists;
+* padded key columns are masked with -100 like the reference's shift mask
+  (video_swin.py:290-305); padded query rows produce finite garbage that
+  the host-side unpad slice discards;
+* cyclic shift stays an XLA roll on the host side (layout-preserving copy,
+  ~0.1 ms at spec bandwidth) because a wrap-around cannot be expressed in
+  a BlockSpec index map.
+
+Reference semantics: SwinTransformerBlock3D.forward_part1
+(video_swin.py:218-249) + WindowAttention3D (:109-170).  Backward is the
+pure-JAX reference via custom_vjp (recompute; windows are tiny).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def supports_fused_block(D: int, H: int, W: int,
+                         window: Tuple[int, int, int]) -> bool:
+    """Shapes the kernel handles: no temporal shift (D <= wd after
+    get_window_size shrink the T-window == D), H/W divisible by the
+    window."""
+    wd, wh, ww = window
+    return D <= wd and H % wh == 0 and W % ww == 0
+
+
+def _pad_maps(D: int, wh: int, ww: int, wwp: int):
+    """token index maps between padded [D, wh, wwp] and valid [D, wh, ww]
+    window enumerations (both row-major)."""
+    toks = np.arange(D * wh * wwp)
+    j = toks % wwp
+    d = toks // (wh * wwp)
+    i = (toks // wwp) % wh
+    valid = j < ww
+    orig = d * (wh * ww) + i * ww + np.minimum(j, ww - 1)
+    return valid, orig
+
+
+def pad_bias_to_kernel(bias: Array, D: int, wh: int, ww: int,
+                       wwp: int) -> Array:
+    """Scatter the [nH, N, N] rel-pos bias into the padded token grid
+    [nH, Np, Np]; padded KEY columns get -100 (softmax-zero, the
+    reference's shift-mask convention)."""
+    valid, orig = _pad_maps(D, wh, ww, wwp)
+    validj = jnp.asarray(valid)
+    idx = jnp.asarray(orig)
+    out = bias[:, idx][:, :, idx]
+    return jnp.where(validj[None, None, :], out, -100.0).astype(jnp.float32)
+
+
+def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
+                      shift: Tuple[int, int, int], ww: int) -> Array:
+    """Shift mask over the PADDED spatial grid: [nW, Np, Np] f32 additive.
+
+    Same region-counting construction as compute_mask (video_swin.py:
+    290-305) on (D, H, Wp) with window (D, wh, wwp); the padded columns
+    (w mod wwp >= ww) get a unique region so they are masked against
+    everything (-100).
+    """
+    wd, wh, wwp = D, window[1], _round8(ww) if ww % 8 else ww
+    sd, sh, sw = shift
+
+    def region(n, w, s):
+        i = np.arange(n)
+        if s == 0:
+            return np.full((n,), 2, np.int64)
+        return np.where(i < n - w, 0, np.where(i < n - s, 1, 2))
+
+    rd = region(D, wd, sd)
+    rh = region(H, wh, sh)
+    # padded-grid column regions: the roll happened BEFORE padding, so
+    # valid columns follow the rolled coordinate regions of the original
+    # W = (Wp//wwp)*ww grid; padded columns get region 9 (unique)
+    nWc = Wp // wwp
+    rw = np.full((Wp,), 9, np.int64)
+    W = nWc * ww
+    rw_valid = region(W, ww, sw)
+    for c in range(nWc):
+        rw[c * wwp: c * wwp + ww] = rw_valid[c * ww: (c + 1) * ww]
+    cnt = (rd[:, None, None] * 27 + rh[None, :, None] * 3
+           + rw[None, None, :])
+    # partition into windows (D, wh, wwp) — row-major window enumeration
+    nRh = H // wh
+    cnt = cnt.reshape(1, D, nRh, wh, nWc, wwp)
+    cnt = cnt.transpose(0, 2, 4, 1, 3, 5).reshape(nRh * nWc, D * wh * wwp)
+    diff = cnt[:, None, :] != cnt[:, :, None]
+    return jnp.asarray(np.where(diff, -100.0, 0.0).astype(np.float32))
+
+
+def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                  b3_ref, wp_ref, bp_ref, bias_ref, mask_ref, o_ref,
+                  ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
+                  wwp: int, attn_scale: float, eps: float,
+                  mask_per_window: bool):
+    """One grid step = one (batch, window-row) slab.
+
+    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
+    All in-kernel reshapes are free tile merges (wwp is 8-aligned).
+    """
+    nWc = Wp // wwp
+    Np = D * wh * wwp
+    dt = ln_buf.dtype
+
+    x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * scale_ref[:].astype(jnp.float32) \
+        + lnb_ref[:].astype(jnp.float32)
+    ln_buf[:] = ln.astype(dt)
+
+    def win_body(w, _):
+        xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
+
+        def head_body(h, acc):
+            q = jax.lax.dot_general(
+                xw, wq_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[0, h]
+            k = jax.lax.dot_general(
+                xw, wk_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[1, h]
+            v = jax.lax.dot_general(
+                xw, wv_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[2, h]
+            s = jax.lax.dot_general(
+                q.astype(dt), k.astype(dt),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * attn_scale
+            s = s + bias_ref[h]
+            if mask_per_window:
+                s = s + mask_ref[0, w]
+            else:
+                s = s + mask_ref[0]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(dt), v.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return acc + jax.lax.dot_general(
+                o.astype(dt), wp_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(
+            0, nH, head_body, jnp.zeros((Np, C), jnp.float32))
+        out = acc + bp_ref[:].astype(jnp.float32)
+        res = jax.lax.dynamic_slice_in_dim(x, w * wwp, wwp, axis=1)
+        out = out.astype(dt) + res.reshape(Np, C).astype(dt)
+        o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
+            D, wh, wwp, C)
+        return 0
+
+    jax.lax.fori_loop(0, nWc, win_body, 0)
+
+
+def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                         bproj, bias, window: Tuple[int, int, int],
+                         shift: Tuple[int, int, int], nH: int,
+                         attn_scale: float, eps: float) -> Array:
+    """x: [B, D, H, W, C] (channels-last).  Returns x + proj(attn(LN(x)))."""
+    B, D, H, W, C = x.shape
+    wd, wh, ww = D, window[1], window[2]
+    wwp = _round8(ww)
+    nR, nWc = H // wh, W // ww
+    Wp = nWc * wwp
+    Np = D * wh * wwp
+    hd = C // nH
+    shifted = any(s > 0 for s in shift)
+
+    if shifted:
+        x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]),
+                     axis=(1, 2, 3))
+    if wwp != ww:
+        # pad each window's lane-minor spatial run 7 -> 8
+        xr = x.reshape(B, D, H, nWc, ww, C)
+        xr = jnp.pad(xr, ((0, 0),) * 4 + ((0, wwp - ww), (0, 0)))
+        xp = xr.reshape(B, D, H, Wp, C)
+    else:
+        xp = x
+    xk = xp.reshape(B, D, nR, wh, Wp, C)
+
+    # weights, per-head layouts (no in-kernel lane slicing)
+    w3 = wqkv.reshape(C, 3, nH, hd).transpose(1, 2, 0, 3)  # [3, nH, C, hd]
+    b3 = (bqkv.reshape(3, nH, hd) if bqkv is not None
+          else jnp.zeros((3, nH, hd), wqkv.dtype))
+    wp_h = wproj.reshape(nH, hd, C)
+
+    bias_p = pad_bias_to_kernel(bias, D, wh, ww, wwp)  # [nH, Np, Np]
+    if shifted:
+        mask = padded_shift_mask(D, H, Wp, (wd, wh, ww), shift, ww)
+        mask = mask.reshape(nR, nWc, Np, Np)
+        mask_spec = pl.BlockSpec((1, nWc, Np, Np), lambda b, r: (r, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_per_window = True
+    else:
+        mask = jnp.zeros((1, Np, Np), jnp.float32)
+        mask_spec = pl.BlockSpec((1, Np, Np), lambda b, r: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        mask_per_window = False
+
+    dt = x.dtype
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b, r: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, D, 1, wh, Wp, C), lambda b, r: (b, 0, r, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full((C,)), full((C,)),
+        full((nH, C, hd)), full((nH, C, hd)), full((nH, C, hd)),
+        full((3, nH, hd)),
+        full((nH, hd, C)), full((C,)),
+        full((nH, Np, Np)),
+        mask_spec,
+    ]
+
+    kernel = functools.partial(
+        _block_kernel, D=D, wh=wh, Wp=Wp, C=C, nH=nH, wwp=wwp,
+        attn_scale=attn_scale, eps=eps, mask_per_window=mask_per_window)
+
+    flops_step = nWc * nH * (2 * Np * C * hd * 3 + 4 * Np * Np * hd
+                             + 2 * Np * hd * C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nR),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, D, 1, wh, Wp, C),
+                               lambda b, r: (b, 0, r, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xk.shape, dt),
+        scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * nR * flops_step,
+            bytes_accessed=2 * xk.size * xk.dtype.itemsize,
+            transcendentals=B * nR * nWc * nH * Np * Np),
+    )(xk, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
+      bias_p, mask)
+
+    out = out.reshape(B, D, H, Wp, C)
+    if wwp != ww:
+        out = out.reshape(B, D, H, nWc, wwp, C)[:, :, :, :, :ww, :]
+        out = out.reshape(B, D, H, W, C)
+    if shifted:
+        out = jnp.roll(out, shift=shift, axis=(1, 2, 3))
+    return out
+
+
+def swin_block_attn_reference(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                              bproj, bias, window, shift, nH, attn_scale,
+                              eps, shift_mask: Optional[Array]) -> Array:
+    """Pure-JAX oracle of the fused block (= part1 + residual of
+    SwinBlock3D with the XLA attention path)."""
+    B, D, H, W, C = x.shape
+    hd = C // nH
+    h = x.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    h = (h - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    h = h.astype(x.dtype)
+    shifted = any(s > 0 for s in shift)
+    if shifted:
+        h = jnp.roll(h, shift=tuple(-s for s in shift), axis=(1, 2, 3))
+    wd, wh, ww = D, window[1], window[2]
+    hw = h.reshape(B, 1, wd, H // wh, wh, W // ww, ww, C)
+    hw = hw.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wd * wh * ww, C)
+    qkv = hw @ wqkv + (0 if bqkv is None else bqkv)
+    N = wd * wh * ww
+    qkv = qkv.reshape(-1, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * attn_scale, k,
+                   preferred_element_type=jnp.float32)
+    s = s + bias[None].astype(s.dtype)
+    if shifted and shift_mask is not None:
+        nW = shift_mask.shape[0]
+        s = s.reshape(-1, nW, nH, N, N) + shift_mask[None, :, None]
+        s = s.reshape(-1, nH, N, N)
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(-1, N, C)
+    o = o @ wproj + bproj
+    o = o.reshape(B, H // wh, W // ww, wd, wh, ww, C)
+    o = o.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B, wd, H, W, C)
+    if shifted:
+        o = jnp.roll(o, shift=shift, axis=(1, 2, 3))
+    return x + o.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_swin_block_attn(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                          bias, window, shift, nH, attn_scale, eps):
+    """x + proj(window_attn(LN(x))) fully fused (see module docstring).
+
+    x: [B, D, H, W, C]; wqkv: [C, 3C]; bqkv: [3C] | None; wproj: [C, C];
+    bias: [nH, N, N] rel-pos (N = D*wh*ww); window/shift per
+    get_window_size.
+    """
+    return _fused_block_forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                bproj, bias, window, shift, nH, attn_scale,
+                                eps)
+
+
+def _ref_with_mask(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                   window, shift, nH, attn_scale, eps):
+    from lavender_tpu.models.swin3d import compute_shift_mask_jnp
+    B, D, H, W, C = x.shape
+    shift_mask = None
+    if any(s > 0 for s in shift):
+        shift_mask = compute_shift_mask_jnp(
+            D, H, W, (D, window[1], window[2]), shift)
+    return swin_block_attn_reference(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, window,
+        shift, nH, attn_scale, eps, shift_mask)
+
+
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+         window, shift, nH, attn_scale, eps):
+    out = _fused_block_forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                               bproj, bias, window, shift, nH, attn_scale,
+                               eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
+
+
+def _bwd(window, shift, nH, attn_scale, eps, res, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _ref_with_mask(*a, window, shift, nH, attn_scale, eps),
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias)
+    return vjp(g)
+
+
+fused_swin_block_attn.defvjp(_fwd, _bwd)

@@ -1,0 +1,129 @@
+"""Whole-block fused Swin attention kernel vs oracles (CPU interpret mode).
+
+Three layers of checking:
+1. the pure-JAX reference of the fused op == the existing module math
+   (attn_impl="fused" backbone output == attn_impl="xla" backbone output);
+2. the Pallas kernel (interpret mode) == the pure-JAX reference, shifted and
+   non-shifted, including the 7->8 pad masking;
+3. gradients flow through the custom_vjp (backward = reference recompute).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from lavender_tpu.config import SwinConfig
+from lavender_tpu.models.swin3d import VideoSwin3D
+from lavender_tpu.ops.swin_block_attn import (
+    fused_swin_block_attn, padded_shift_mask, supports_fused_block,
+    swin_block_attn_reference)
+from lavender_tpu.models.swin3d import compute_shift_mask_jnp
+
+
+def _params(C, nH, window, seed=0):
+    g = np.random.RandomState(seed)
+    N = int(np.prod(window))
+    mk = lambda *s: jnp.asarray(g.randn(*s).astype(np.float32) * 0.05)
+    return dict(
+        ln_scale=1.0 + 0.1 * mk(C), ln_bias=0.1 * mk(C),
+        wqkv=mk(C, 3 * C), bqkv=mk(3 * C), wproj=mk(C, C), bproj=mk(C),
+        bias=mk(nH, N, N))
+
+
+@pytest.mark.parametrize("shift", [(0, 0, 0), (0, 2, 2)])
+def test_kernel_matches_reference(shift):
+    B, D, H, W, C, nH = 2, 3, 14, 14, 32, 4
+    window = (3, 7, 7)
+    assert supports_fused_block(D, H, W, window)
+    p = _params(C, nH, window)
+    g = np.random.RandomState(1)
+    x = jnp.asarray(g.randn(B, D, H, W, C).astype(np.float32))
+    shift_mask = None
+    if any(shift):
+        shift_mask = compute_shift_mask_jnp(D, H, W, window, shift)
+    want = swin_block_attn_reference(
+        x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wproj"],
+        p["bproj"], p["bias"], window, shift, nH, (C // nH) ** -0.5, 1e-5,
+        shift_mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_swin_block_attn(
+            x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"],
+            p["wproj"], p["bproj"], p["bias"], window, shift, nH,
+            (C // nH) ** -0.5, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_aligned_window_no_pad():
+    # ww already a multiple of 8 -> no pad path
+    B, D, H, W, C, nH = 1, 2, 8, 16, 16, 2
+    window = (2, 4, 8)
+    p = _params(C, nH, window, seed=3)
+    g = np.random.RandomState(4)
+    x = jnp.asarray(g.randn(B, D, H, W, C).astype(np.float32))
+    want = swin_block_attn_reference(
+        x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wproj"],
+        p["bproj"], p["bias"], window, (0, 0, 0), nH, (C // nH) ** -0.5,
+        1e-5, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_swin_block_attn(
+            x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"],
+            p["wproj"], p["bproj"], p["bias"], window, (0, 0, 0), nH,
+            (C // nH) ** -0.5, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_backbone_fused_equals_xla():
+    """attn_impl='fused' == 'xla' through the whole backbone (interpret)."""
+    cfg_x = SwinConfig(embed_dim=8, depths=(1, 2, 1, 1),
+                       num_heads=(1, 2, 4, 8), window_size=(8, 7, 7),
+                       drop_path_rate=0.0, attn_impl="xla")
+    cfg_f = SwinConfig(embed_dim=8, depths=(1, 2, 1, 1),
+                       num_heads=(1, 2, 4, 8), window_size=(8, 7, 7),
+                       drop_path_rate=0.0, attn_impl="fused")
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.randn(1, 2, 112, 112, 3).astype(np.float32))
+    mx = VideoSwin3D(cfg_x)
+    params = mx.init(jax.random.PRNGKey(0), x)
+    want = mx.apply(params, x)
+    mf = VideoSwin3D(cfg_f)
+    with pltpu.force_tpu_interpret_mode():
+        # param trees must be interchangeable
+        pf = mf.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(pf))
+        got = mf.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_gradients_flow():
+    B, D, H, W, C, nH = 1, 2, 7, 7, 16, 2
+    window = (2, 7, 7)
+    p = _params(C, nH, window, seed=5)
+    g = np.random.RandomState(6)
+    x = jnp.asarray(g.randn(B, D, H, W, C).astype(np.float32))
+
+    def loss(x, wqkv):
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_swin_block_attn(
+                x, p["ln_scale"], p["ln_bias"], wqkv, p["bqkv"],
+                p["wproj"], p["bproj"], p["bias"], window, (0, 0, 0), nH,
+                (C // nH) ** -0.5, 1e-5)
+        return jnp.sum(out ** 2)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, p["wqkv"])
+
+    def loss_ref(x, wqkv):
+        out = swin_block_attn_reference(
+            x, p["ln_scale"], p["ln_bias"], wqkv, p["bqkv"], p["wproj"],
+            p["bproj"], p["bias"], window, (0, 0, 0), nH,
+            (C // nH) ** -0.5, 1e-5, None)
+        return jnp.sum(out ** 2)
+
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, p["wqkv"])
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-4)
