@@ -25,7 +25,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
-    ap.add_argument("--attn", default="pallas", choices=["xla", "pallas"],
+    ap.add_argument("--attn", default="pallas",
+                    choices=["xla", "pallas", "fused"],
                     help="window-attention implementation")
     ap.add_argument("--no-scan", action="store_true",
                     help="disable scan-over-layers (debug)")
@@ -41,7 +42,7 @@ def main():
         pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        if args.attn == "pallas":
+        if args.attn in ("pallas", "fused"):
             # Mosaic kernels only lower on TPU; the CPU path is a
             # correctness smoke, so silently use the XLA oracle instead
             args.attn = "xla"

@@ -834,10 +834,14 @@ def main(argv=None):
     ap.add_argument("--vocab", default=None, help="WordPiece vocab.txt")
     args = ap.parse_args(argv)
 
-    cfg = load_run_config(args.config)
-    cfg.extra["config_path"] = args.config
     with open(args.config) as f:
         _raw = json.load(f)
+    if args.path_ckpt:
+        # set before load so ckpt-args inheritance (config.inherit_ckpt_args)
+        # sees the checkpoint directory (utils/args.py:245-293)
+        _raw["path_ckpt"] = args.path_ckpt
+    cfg = load_run_config(_raw)
+    cfg.extra["config_path"] = args.config
     if "size_test" in _raw:
         cfg.extra["size_test"] = _raw["size_test"]
     if args.path_ckpt:

@@ -178,6 +178,32 @@ def _coerce(value: Any, typ: Any) -> Any:
     return value
 
 
+def inherit_ckpt_args(raw: Dict) -> Dict:
+    """Inherit model-architecture args from the checkpoint's training run
+    (utils/args.py:245-293): when ``path_ckpt``'s directory holds an
+    ``args.json``, its architecture keys override the recipe; eval-only runs
+    (size_epoch == 0) also inherit the input shapes."""
+    import os.path as op
+    path_ckpt = raw.get("path_ckpt", "")
+    if not path_ckpt:
+        return raw
+    training_args_path = op.join(op.dirname(path_ckpt), "args.json")
+    if not op.exists(training_args_path):
+        return raw
+    with open(training_args_path) as f:
+        training = json.load(f)
+    to_update = ["vis_backbone_size", "swinbert", "txt_backbone_embed_only",
+                 "swin", "bert", "max_size_frame", "max_size_patch",
+                 "enable_task_token", "enable_prompt"]
+    if int(raw.get("size_epoch", 20)) == 0:
+        to_update += ["size_frame", "size_txt", "size_img", "img_transform"]
+    out = dict(raw)
+    for key in to_update:
+        if key in training:
+            out[key] = training[key]
+    return out
+
+
 def load_run_config(path_or_dict) -> RunConfig:
     """Build a RunConfig from a JSON file using the reference arg names.
 
@@ -189,6 +215,7 @@ def load_run_config(path_or_dict) -> RunConfig:
             raw = json.load(f)
     else:
         raw = dict(path_or_dict)
+    raw = inherit_ckpt_args(raw)
 
     cfg = RunConfig()
     size = raw.get("vis_backbone_size", "base")
@@ -210,6 +237,9 @@ def load_run_config(path_or_dict) -> RunConfig:
         dtype=raw.get("dtype", "float32"),
         max_size_frame=int(raw.get("max_size_frame", 6)),
         max_size_patch=int(raw.get("max_size_patch", 14)),
+        swinbert=bool(raw.get("swinbert", False)),
+        txt_backbone_embed_only=bool(raw.get("txt_backbone_embed_only",
+                                             True)),
         enable_task_token=bool(raw.get("enable_task_token", False)),
         enable_prompt=bool(raw.get("enable_prompt", False)),
     )

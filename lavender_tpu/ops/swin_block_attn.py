@@ -178,7 +178,7 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         acc = jax.lax.fori_loop(
             0, nH, head_body, jnp.zeros((Np, C), jnp.float32))
         out = acc + bp_ref[:].astype(jnp.float32)
-        res = jax.lax.dynamic_slice_in_dim(x, w * wwp, wwp, axis=1)
+        res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
         out = out.astype(dt) + res.reshape(Np, C).astype(dt)
         o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
             D, wh, wwp, C)

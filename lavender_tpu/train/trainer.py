@@ -62,20 +62,28 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
-    def shardings_of(tree):
-        return jax.tree_util.tree_map(
-            lambda x: NamedSharding(mesh, P()), tree)
-
-    # in/out shardings are inferred from input placement; constrain batch.
+    # Explicit shardings (round-1 weak #7): don't rely on input placement —
+    # params restored from Orbax or bf16-cast lose their sharding, and a
+    # committed constraint keeps XLA from silently replicating TP params.
     batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
 
     @functools.partial(
         jax.jit, donate_argnums=(0,) if donate else ())
     def sharded_step(state, batch):
+        param_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s),
+            pmesh.param_pspecs(state.params))
+        params = jax.tree_util.tree_map(
+            jax.lax.with_sharding_constraint, state.params, param_shardings)
+        state = state.replace(params=params)
         batch = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
             batch)
-        return step_fn(state, batch)
+        new_state, loss = step_fn(state, batch)
+        new_params = jax.tree_util.tree_map(
+            jax.lax.with_sharding_constraint, new_state.params,
+            param_shardings)
+        return new_state.replace(params=new_params), loss
 
     return sharded_step
 

@@ -345,3 +345,38 @@ def test_merge_params_truncate_pad():
     assert out["a"][:2].sum() == 12 and out["a"][2:].sum() == 0
     assert out["b"]["c"].sum() == 3
     assert out["d"].sum() == 0  # kept init
+
+
+def test_ckpt_args_inheritance(tmp_path):
+    """Finetune/eval recipes inherit architecture keys from the checkpoint's
+    training args.json (utils/args.py:245-293)."""
+    import json
+    from lavender_tpu.config import load_run_config
+    ckpt_dir = tmp_path / "run"
+    ckpt_dir.mkdir()
+    with open(ckpt_dir / "args.json", "w") as f:
+        json.dump({"vis_backbone_size": "tiny", "swinbert": True,
+                   "size_img": 192, "size_txt": 30,
+                   "swin": {"embed_dim": 96, "depths": [2, 2, 6, 2],
+                            "num_heads": [3, 6, 12, 24]}}, f)
+    ckpt = ckpt_dir / "ckpt_model_1.pt"
+    ckpt.write_bytes(b"")
+
+    # training run (size_epoch > 0): inherits architecture, keeps own shapes
+    cfg = load_run_config({"path_ckpt": str(ckpt), "size_img": 224,
+                           "size_epoch": 5})
+    assert cfg.vis_backbone_size == "tiny"
+    assert cfg.model.swinbert is True
+    assert cfg.model.swin.embed_dim == 96
+    assert cfg.data.size_img == 224  # own shapes win while training
+
+    # eval-only run (size_epoch == 0): also inherits the input shapes
+    cfg = load_run_config({"path_ckpt": str(ckpt), "size_img": 224,
+                           "size_epoch": 0})
+    assert cfg.data.size_img == 192
+    assert cfg.data.size_txt == 30
+
+    # no args.json next to the ckpt -> untouched
+    cfg = load_run_config({"path_ckpt": str(tmp_path / "none.pt"),
+                           "size_img": 224})
+    assert cfg.data.size_img == 224

@@ -84,3 +84,46 @@ def test_sharded_forward_matches_single(tiny):
         out = jax.jit(fwd)({"params": sharded_params}, batch["img"],
                            batch["txt"], batch["mask"])
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_tp_train_step_matches_unsharded(tiny):
+    """A FULL train step (loss + grads + AdamW update) on a dp=4 x tp=2 mesh
+    must match the single-device step — the exact contract dryrun_multichip
+    exercises (round-1 weak #2: this was tested nowhere in the suite)."""
+    from lavender_tpu.config import TrainConfig
+    from lavender_tpu.tasks import retrieval
+    from lavender_tpu.train import optimizer as opt_lib
+    from lavender_tpu.train import trainer
+
+    model, variables = tiny
+    tcfg = TrainConfig(max_iter=10, max_grad_norm=1.0, lr=1e-3)
+    loss_fn = retrieval.make_loss_fn(model, true_id=5, false_id=6)
+    rs = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray(rs.rand(8, 2, 32, 32, 3), jnp.float32),
+        "txt": jnp.asarray(rs.randint(3, 60, (8, 8)), jnp.int32),
+        "mask": jnp.ones((8, 8), jnp.int32),
+        "vid": jnp.arange(8, dtype=jnp.int32),
+    }
+
+    # single-device reference
+    tx = opt_lib.build_optimizer(variables["params"], tcfg)
+    state = trainer.create_train_state(variables["params"], tx, seed=0)
+    step = trainer.make_train_step(loss_fn, tx, donate=False)
+    ref_state, ref_loss = step(state, batch)
+
+    # dp=4 x tp=2 sharded
+    mesh = pmesh.make_mesh(8, tp=2)
+    params = pmesh.shard_params(variables["params"], mesh)
+    tx2 = opt_lib.build_optimizer(params, tcfg)
+    state2 = trainer.create_train_state(params, tx2, seed=0)
+    step2 = trainer.make_train_step(loss_fn, tx2, mesh=mesh, donate=False)
+    sbatch = pmesh.shard_batch(batch, mesh)
+    with mesh:
+        new_state2, loss2 = step2(state2, sbatch)
+
+    np.testing.assert_allclose(float(loss2), float(ref_loss), atol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_shd = jax.tree_util.tree_leaves(new_state2.params)
+    for a, b in zip(flat_ref, flat_shd):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5)
