@@ -182,6 +182,59 @@ def run_retmc_mlm(cfg: RunConfig, tok):
                         zero_shot=bool(cfg.path_ckpt))
 
 
+@register("qamc_mlm_head")
+def run_qamc_mlm_head(cfg: RunConfig, tok):
+    """MC-QA scored per-option as VTM true/false at each option's appended
+    [MASK] (main_qamc_mlm_head.py:12-121) — reuses the RetMC machinery via
+    QAMCHeadDataset."""
+    from lavender_tpu.tasks import retmc
+    datasets = load_task_data(cfg.data, retmc.QAMCHeadDataset, tok)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok,
+                                    txt_len=_sample_txt_len(datasets))
+    ds = datasets["val"]
+    pre = _pretext(cfg, model, ds, "vtm")
+    agent = Agent(
+        cfg, model, variables,
+        loss_fn=retmc.make_loss_fn(model, pretext=pre),
+        eval_step=_wrap_eval(retmc.make_eval_step(
+            model, ds.true_token_id, ds.false_token_id, pretext=pre),
+            ["img", "txt", "mask", "mask_ans", "ans_idx"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
+@register("qaoe_mlm_fib")
+def run_qaoe_mlm_fib(cfg: RunConfig, tok):
+    """LSMDC fill-in-blank: the [MASK] is embedded in the sentence; dataset
+    answers index a label2ans vocab remapped to tokens
+    (main_qaoe_mlm_lsmdc_fib.py).  Expects ``label2ans`` (list or dict) in
+    the txt json or a sibling ``txt_{task}_label2ans.json``."""
+    from lavender_tpu.tasks import qaoe
+    la_path = op.join(cfg.data.data_dir,
+                      f"txt_{cfg.data.task}_label2ans.json")
+    label2ans = None
+    if op.exists(la_path):
+        with open(la_path) as f:
+            label2ans = json.load(f)
+    if isinstance(label2ans, dict):
+        label2ans = {int(k): v for k, v in label2ans.items()}
+    datasets = load_task_data(cfg.data, qaoe.QAOEFibDataset, tok,
+                              label2ans=label2ans)
+    dl_tr, dl_vl, dl_ts = _loaders(cfg, datasets)
+    cfg.train.max_iter = max(1, len(dl_tr) * cfg.train.size_epoch)
+    model, variables = _build_model(cfg, tok,
+                                    txt_len=_sample_txt_len(datasets))
+    pre = _pretext(cfg, model, datasets["val"], "oe")
+    agent = Agent(
+        cfg, model, variables, loss_fn=qaoe.make_loss_fn(model, pretext=pre),
+        eval_step=_wrap_eval(qaoe.make_eval_step(model, pretext=pre),
+                             ["img", "txt", "mask", "mask_ans"]))
+    return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
+                        zero_shot=bool(cfg.path_ckpt))
+
+
 @register("caption")
 def run_caption(cfg: RunConfig, tok):
     from lavender_tpu.models import captioning as cap

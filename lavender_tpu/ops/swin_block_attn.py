@@ -121,19 +121,28 @@ def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
 
 def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                   b3_ref, wp_ref, bp_ref, bias_ref, mask_ref, o_ref,
-                  ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
-                  wwp: int, attn_scale: float, eps: float,
+                  ln_buf, qkv_buf, ov_buf, *, D: int, wh: int, Wp: int,
+                  C: int, nH: int, wwp: int, attn_scale: float, eps: float,
                   mask_per_window: bool):
     """One grid step = one (batch, window-row) slab.
 
-    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
+    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C];
+    qkv_buf: [3, D*wh, Wp, hd]; ov_buf: [D*wh, Wp, hd].
     All in-kernel reshapes are free tile merges (wwp is 8-aligned).
+
+    Loop structure (v2): the qkv and output projections run ONCE PER HEAD
+    over the whole slab (M = D*wh*Wp rows — full MXU streams) instead of
+    once per (window, head) (M = window tokens — 8x shorter); only the
+    inherently per-window score/softmax/pv work stays in the window loop.
     """
     nWc = Wp // wwp
+    A = D * wh
+    M = A * Wp
     Np = D * wh * wwp
+    hd = wq_ref.shape[2]
     dt = ln_buf.dtype
 
-    x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
+    x = x_ref[0, :, 0].reshape(A, Wp, C)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
@@ -142,22 +151,27 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         + lnb_ref[:].astype(jnp.float32)
     ln_buf[:] = ln.astype(dt)
 
-    def win_body(w, _):
-        xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
+    def head_body(h, acc):
+        ln_flat = ln_buf[:].reshape(M, C)
+        q = jax.lax.dot_general(
+            ln_flat, wq_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b3_ref[0, h]
+        k = jax.lax.dot_general(
+            ln_flat, wk_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b3_ref[1, h]
+        v = jax.lax.dot_general(
+            ln_flat, wv_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b3_ref[2, h]
+        qkv_buf[0] = q.astype(dt).reshape(A, Wp, hd)
+        qkv_buf[1] = k.astype(dt).reshape(A, Wp, hd)
+        qkv_buf[2] = v.astype(dt).reshape(A, Wp, hd)
 
-        def head_body(h, acc):
-            q = jax.lax.dot_general(
-                xw, wq_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[0, h]
-            k = jax.lax.dot_general(
-                xw, wk_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[1, h]
-            v = jax.lax.dot_general(
-                xw, wv_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[2, h]
+        def win_body(w, _):
+            qw = qkv_buf[0, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
+            kw = qkv_buf[1, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
+            vw = qkv_buf[2, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
             s = jax.lax.dot_general(
-                q.astype(dt), k.astype(dt),
-                (((1,), (1,)), ((), ())),
+                qw, kw, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * attn_scale
             s = s + bias_ref[h]
             if mask_per_window:
@@ -168,23 +182,23 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
-                p.astype(dt), v.astype(dt),
-                (((1,), (0,)), ((), ())),
+                p.astype(dt), vw, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return acc + jax.lax.dot_general(
-                o.astype(dt), wp_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            ov_buf[:, pl.ds(w * wwp, wwp), :] = o.astype(dt).reshape(
+                A, wwp, hd)
+            return 0
 
-        acc = jax.lax.fori_loop(
-            0, nH, head_body, jnp.zeros((Np, C), jnp.float32))
-        out = acc + bp_ref[:].astype(jnp.float32)
-        res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
-        out = out.astype(dt) + res.reshape(Np, C).astype(dt)
-        o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
-            D, wh, wwp, C)
-        return 0
+        jax.lax.fori_loop(0, nWc, win_body, 0)
+        o_flat = ov_buf[:].reshape(M, hd)
+        return acc + jax.lax.dot_general(
+            o_flat, wp_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    jax.lax.fori_loop(0, nWc, win_body, 0)
+    acc = jax.lax.fori_loop(
+        0, nH, head_body, jnp.zeros((M, C), jnp.float32))
+    out = acc + bp_ref[:].astype(jnp.float32)
+    out = out.astype(dt) + x.reshape(M, C).astype(dt)
+    o_ref[0, :, 0] = out.reshape(D, wh, Wp, C)
 
 
 def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
@@ -215,8 +229,10 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
     # weights, per-head layouts (no in-kernel lane slicing)
     w3 = wqkv.reshape(C, 3, nH, hd).transpose(1, 2, 0, 3)  # [3, nH, C, hd]
-    b3 = (bqkv.reshape(3, nH, hd) if bqkv is not None
-          else jnp.zeros((3, nH, hd), wqkv.dtype))
+    # [3, nH, 1, hd]: the dynamic (kind, head) index must land on batch
+    # dims — Mosaic cannot dynamically index a sublane dim
+    b3 = (bqkv.reshape(3, nH, 1, hd) if bqkv is not None
+          else jnp.zeros((3, nH, 1, hd), wqkv.dtype))
     wp_h = wproj.reshape(nH, hd, C)
 
     bias_p = pad_bias_to_kernel(bias, D, wh, ww, wwp)  # [nH, Np, Np]
@@ -240,7 +256,7 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
                      memory_space=pltpu.VMEM),
         full((C,)), full((C,)),
         full((nH, C, hd)), full((nH, C, hd)), full((nH, C, hd)),
-        full((3, nH, hd)),
+        full((3, nH, 1, hd)),
         full((nH, hd, C)), full((C,)),
         full((nH, Np, Np)),
         mask_spec,
@@ -260,7 +276,9 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                lambda b, r: (b, 0, r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xk.shape, dt),
-        scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt)],
+        scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt),
+                        pltpu.VMEM((3, D * wh, Wp, hd), dt),
+                        pltpu.VMEM((D * wh, Wp, hd), dt)],
         cost_estimate=pl.CostEstimate(
             flops=B * nR * flops_step,
             bytes_accessed=2 * xk.size * xk.dtype.itemsize,

@@ -157,3 +157,136 @@ def test_cli_pretrain(data_dir, tmp_path):
                 "--config", _config(data_dir, "toypre", ds="toypre"),
                 "--path_output", str(tmp_path)])
     assert any(np.isfinite(v[0]) for k, v in log.items() if v)
+
+
+def test_cli_retrieval_ts(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "retrieval_ts",
+                "--config", _config(data_dir, "toyret"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+    assert 0.0 <= log["ac_vl"][0] <= 1.0
+
+
+def test_cli_qamc_ts(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "qamc_ts",
+                "--config", _config(data_dir, "toymc"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_qaoe_ts(data_dir, tmp_path):
+    import json as jsonmod
+    from lavender_tpu.cli.main import main
+    # qaoe_ts classifies over a fixed answer vocab: remap answers to ints
+    with open(data_dir / "txt_toyoe.json") as f:
+        oe = jsonmod.load(f)
+    vocab = {"dog": 0, "cat": 1, "man": 2}
+    oe2 = {s: [dict(it, answer=vocab[it["answer_text"]]) for it in items]
+           for s, items in oe.items()}
+    with open(data_dir / "txt_toyoets.json", "w") as f:
+        jsonmod.dump(oe2, f)
+    log = main(["--task", "qaoe_ts",
+                "--config", _config(data_dir, "toyoets", size_vocab=3),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_retmc_ts(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "retmc_ts",
+                "--config", _config(data_dir, "toymc"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_pretrain_ts(data_dir, tmp_path):
+    import shutil
+    from lavender_tpu.cli.main import main
+    shutil.copy(data_dir / "img_toy.tsv", data_dir / "toypre2_train_0.tsv")
+    caps = {f"vid{i}": [f"a dog is playing {i}"] for i in range(6)}
+    with open(data_dir / "txt_toypre2.json", "w") as f:
+        json.dump({"train": caps}, f)
+    log = main(["--task", "pretrain_ts",
+                "--config", _config(data_dir, "toypre2", ds="toypre2"),
+                "--path_output", str(tmp_path)])
+    assert any(np.isfinite(v[0]) for k, v in log.items() if v)
+
+
+def test_cli_multi_task_evals(data_dir, tmp_path):
+    """multi_task_mlm: per-task eval every iter_per_ep + best tracking
+    (Agent_Multi_Task.run, main_multi_task_mlm.py:404-486)."""
+    from lavender_tpu.cli.main import main
+    cfg_path = _config(data_dir, "toyret",
+                       multi_task_datasets=[
+                           {"type": "retrieval", "task": "toyret",
+                            "dataset": "toy", "ratio": 1},
+                           {"type": "qamc", "task": "toymc",
+                            "dataset": "toy", "ratio": 1}],
+                       max_steps=4, iter_per_ep=2)
+    log = main(["--task", "multi_task_mlm", "--config", cfg_path,
+                "--path_output", str(tmp_path)])
+    assert log["retrieval-toy_vl_ac"], log.keys()
+    assert log["qamc-toy_vl_ac"], log.keys()
+    assert "retrieval-toy" in log["best"]
+
+
+def test_cli_multi_task_multi_head(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    cfg_path = _config(data_dir, "toyret",
+                       multi_task_datasets=[
+                           {"type": "retrieval", "task": "toyret",
+                            "dataset": "toy", "ratio": 1},
+                           {"type": "qamc", "task": "toymc",
+                            "dataset": "toy", "ratio": 1,
+                            "size_option": 3}],
+                       max_steps=4, iter_per_ep=2)
+    log = main(["--task", "multi_task_multi_head", "--config", cfg_path,
+                "--path_output", str(tmp_path)])
+    assert log["retrieval-toy_vl_ac"]
+    assert log["qamc-toy_vl_ac"]
+
+
+def test_cli_eval_retrieval_ts(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    res = main(["--task", "eval_retrieval_ts",
+                "--config", _config(data_dir, "toyret"),
+                "--path_output", str(tmp_path)])
+    for split in ("val", "test"):
+        assert "R@1" in res[split]
+
+
+def test_cli_prompt_and_task_token(data_dir, tmp_path):
+    """Pretext-enabled runs train + eval end-to-end (round-1 missing #4)."""
+    from lavender_tpu.cli.main import main
+    for flag in ("enable_prompt", "enable_task_token"):
+        log = main(["--task", "retrieval_mlm",
+                    "--config", _config(data_dir, "toyret", **{flag: True}),
+                    "--path_output", str(tmp_path / flag)])
+        assert np.isfinite(log["ls_tr"][0]), flag
+
+
+def test_cli_qamc_mlm_head(data_dir, tmp_path):
+    from lavender_tpu.cli.main import main
+    log = main(["--task", "qamc_mlm_head",
+                "--config", _config(data_dir, "toymc"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
+
+
+def test_cli_qaoe_mlm_fib(data_dir, tmp_path):
+    import json as jsonmod
+    from lavender_tpu.cli.main import main
+    ans_vocab = ["dog", "cat", "man"]
+    fib = {s: [{"video": f"vid{i}", "sentence": "the [MASK] is playing",
+                "answer": i % 3} for i in range(6)]
+           for s in ["train", "val", "test"]}
+    with open(data_dir / "txt_toyfib.json", "w") as f:
+        jsonmod.dump(fib, f)
+    with open(data_dir / "txt_toyfib_label2ans.json", "w") as f:
+        jsonmod.dump(ans_vocab, f)
+    log = main(["--task", "qaoe_mlm_fib",
+                "--config", _config(data_dir, "toyfib"),
+                "--path_output", str(tmp_path)])
+    assert np.isfinite(log["ls_tr"][0])
