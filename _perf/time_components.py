@@ -109,6 +109,28 @@ def main():
                       label=f"stage{i + 1} C={Cs} {HW}x{HW} "
                             f"depth={swin.depths[i]}")
 
+    if "hw" in parts:
+        # hardware reality checks: effective HBM BW + MXU floor
+        big = jnp.asarray(rng.rand(64 * 1024 * 1024 // 4).astype(np.float32))
+
+        def bw_fn(x, carry):
+            y = x * 1.000001 + carry
+            return y.mean()
+        # traffic per iter: read 64MB + write 64MB intermediate -> ~128MB
+        dt_bw = scan_time(bw_fn, big, label="elementwise 64MB f32 (BW probe)")
+        print(f"  -> effective HBM BW ~ {2 * big.size * 4 / dt_bw / 1e9:.0f} "
+              f"GB/s", flush=True)
+
+        a = jnp.asarray(rng.rand(4096, 4096).astype(np.float32),
+                        jnp.bfloat16)
+
+        def mm_fn(a, carry):
+            b = a + carry.astype(jnp.bfloat16)
+            return (b @ a).astype(jnp.float32).mean()
+        dt_mm = scan_time(mm_fn, a, label="matmul 4096^3 bf16")
+        print(f"  -> MXU ~ {2 * 4096 ** 3 / dt_mm / 1e12:.0f} TF/s",
+              flush=True)
+
     if "embed" in parts:
         from lavender_tpu.models.swin3d import PatchEmbed3D, PatchMerging
         pe = PatchEmbed3D(patch_size=swin.patch_size,

@@ -350,20 +350,22 @@ class SwinBlock3D(nn.Module):
             # SAME param tree as the module path, so checkpoints and golden
             # tests are layout-identical.
             from lavender_tpu.ops.swin_block_attn import (
-                fused_swin_block_attn, swin_block_attn_reference)
+                _round8, fused_swin_block_attn, rel_pos_bias_padded)
             n1_scale, n1_bias = _LNParams(self.dim, name="norm1")()
             wqkv, bqkv, wproj, bproj, table = _WinAttnParams(
                 dim=self.dim, window_size=tuple(self.window_size),
                 num_heads=self.num_heads, qkv_bias=True, name="attn")()
             N = int(np.prod(window_size))
-            rpi = relative_position_index_jnp(
-                tuple(self.window_size))[:N, :N]
-            bias = table[rpi.reshape(-1)].reshape(N, N, self.num_heads)
-            bias = bias.transpose(2, 0, 1)
+            rpi = relative_position_index(tuple(self.window_size))[:N, :N]
+            # padded bias via ONE composed gather (the naive build re-ran
+            # three gathers per scan step at ~13 GB/s, see PERF.md)
+            bias = rel_pos_bias_padded(
+                table, rpi, window_size[0], window_size[1], window_size[2],
+                _round8(window_size[2]), self.dtype)
             scale = self.qk_scale or (C // self.num_heads) ** -0.5
             args = (n1_scale, n1_bias, wqkv.astype(self.dtype),
                     bqkv.astype(self.dtype), wproj.astype(self.dtype),
-                    bproj.astype(self.dtype), bias.astype(jnp.float32))
+                    bproj.astype(self.dtype), bias)
             rate = dp_rate if dp_rate is not None else self.drop_path_rate
             use_dp = not deterministic and (
                 dp_rate is not None or self.drop_path_rate > 0.0)
@@ -372,15 +374,12 @@ class SwinBlock3D(nn.Module):
                     x, *args, window_size, shift_size, self.num_heads,
                     scale, self.layer_norm_eps)
             else:
-                # training-with-drop-path or odd shapes: reference math on
-                # the same params
-                shift_mask = None
-                if any(s > 0 for s in shift_size):
-                    shift_mask = compute_shift_mask_jnp(
-                        D, H, W, window_size, shift_size)
-                full = swin_block_attn_reference(
+                # training-with-drop-path: reference math on the same
+                # params (handles the padded bias internally)
+                from lavender_tpu.ops.swin_block_attn import _ref_with_mask
+                full = _ref_with_mask(
                     x, *args, window_size, shift_size, self.num_heads,
-                    scale, self.layer_norm_eps, shift_mask)
+                    scale, self.layer_norm_eps)
                 attn_out = full - x
                 if use_dp:
                     rng1 = self.make_rng("dropout")
@@ -388,23 +387,28 @@ class SwinBlock3D(nn.Module):
                 else:
                     x = full
 
-            def part2_fused(x):
-                from lavender_tpu.ops.fused_mlp import (
-                    fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
-                flat = x.reshape(-1, C)
+            from lavender_tpu.ops.fused_mlp import (
+                fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
+            flat = x.reshape(-1, C)
+            if use_dp:
                 if weights_fit_vmem(C, hidden_f):
                     out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1,
                                        k2, b2, self.layer_norm_eps)
                 else:
                     out = ln_mlp_reference(flat, n2_scale, n2_bias, k1, b1,
                                            k2, b2, self.layer_norm_eps)
-                return out.astype(self.dtype).reshape(x.shape)
-
-            mlp_out = part2_fused(x)
-            if use_dp:
+                mlp_out = out.astype(self.dtype).reshape(x.shape)
                 rng2 = self.make_rng("dropout")
                 return x + drop_path(mlp_out, rate, deterministic, rng2)
-            return x + mlp_out
+            # inference: residual folded into the kernel (zero extra HBM)
+            if weights_fit_vmem(C, hidden_f):
+                out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                                   self.layer_norm_eps, True)
+            else:
+                out = flat + ln_mlp_reference(
+                    flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                    self.layer_norm_eps).astype(self.dtype)
+            return out.astype(self.dtype).reshape(x.shape)
 
         norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                              name="norm1")

@@ -58,7 +58,7 @@ def _gelu_exact(x):
 
 
 def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-            o_ref, *, eps: float):
+            o_ref, *, eps: float, add_residual: bool):
     x = x_ref[:].astype(jnp.float32)  # [TM, C]
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
@@ -74,21 +74,25 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o = jax.lax.dot_general(
         h.astype(wdt), w2_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
-    o_ref[:] = o.astype(o_ref.dtype)
+    if add_residual:
+        # x + mlp(ln(x)): the input block IS the residual — zero extra HBM
+        o_ref[:] = o.astype(o_ref.dtype) + x_ref[:].astype(o_ref.dtype)
+    else:
+        o_ref[:] = o.astype(o_ref.dtype)
 
 
-def _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+def _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual):
     M, C = x.shape
     HD = w1.shape[1]
-    # token tile: keep TM * HD f32 intermediate ~<= 4 MB
+    # token tile: keep TM * HD f32 intermediate ~<= 4 MB; pad the token dim
+    # up rather than shrinking TM (round-1: M=9408 at stage 3 collapsed the
+    # tile to 64 rows and the grid to 147 dispatch-bound steps)
     TM = max(256, min(2048, (4 * 1024 * 1024) // max(HD * 4, 1)))
-    while M % TM != 0 and TM > 8:
-        TM //= 2
-    if M % TM != 0:
-        TM = M  # small inputs: single tile
+    Mp = ((M + TM - 1) // TM) * TM
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
     vec = lambda a: a.reshape(1, -1)
     grid_spec = pl.GridSpec(
-        grid=(M // TM,),
+        grid=(Mp // TM,),
         in_specs=[
             pl.BlockSpec((TM, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -101,33 +105,36 @@ def _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
         out_specs=pl.BlockSpec((TM, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, add_residual=add_residual),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * M * C * HD,
-            bytes_accessed=4 * M * C + 2 * C * HD * 4,
-            transcendentals=M * HD),
-    )(x, vec(ln_scale), vec(ln_bias), w1, vec(b1), w2, vec(b2))
+            flops=4 * Mp * C * HD,
+            bytes_accessed=4 * Mp * C + 2 * C * HD * 4,
+            transcendentals=Mp * HD),
+    )(xp, vec(ln_scale), vec(ln_bias), w1, vec(b1), w2, vec(b2))
+    return out[:M] if Mp != M else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5):
-    """mlp(layernorm(x)) for 2-D x [M, C]; caller adds the residual."""
-    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2, eps=1e-5,
+                 add_residual=False):
+    """mlp(layernorm(x)) for 2-D x [M, C] (+x when add_residual)."""
+    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual)
 
 
-def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
-    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps), (
-        x, ln_scale, ln_bias, w1, b1, w2, b2)
+def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, add_residual):
+    return _forward(x, ln_scale, ln_bias, w1, b1, w2, b2, eps,
+                    add_residual), (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _bwd(eps, res, g):
+def _bwd(eps, add_residual, res, g):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
 
     def f(x, s, b, w1_, b1_, w2_, b2_):
-        return ln_mlp_reference(x, s, b, w1_, b1_, w2_, b2_, eps)
+        out = ln_mlp_reference(x, s, b, w1_, b1_, w2_, b2_, eps)
+        return out + x.astype(out.dtype) if add_residual else out
 
     _, vjp = jax.vjp(f, x, ln_scale, ln_bias, w1, b1, w2, b2)
     return vjp(g)

@@ -80,6 +80,25 @@ def pad_bias_to_kernel(bias: Array, D: int, wh: int, ww: int,
     return jnp.where(validj[None, None, :], out, -100.0).astype(jnp.float32)
 
 
+def rel_pos_bias_padded(table: Array, rpi: np.ndarray, D: int, wh: int,
+                        ww: int, wwp: int, dtype) -> Array:
+    """table [L, nH] + rel-pos index [N, N] -> padded additive bias
+    [nH, Np, Np] in ONE gather.
+
+    The trace showed the naive three-step build (row gather -> reshape ->
+    transpose, then two pad gathers) re-executes per scan step at ~13 GB/s;
+    composing the pad into the index at trace time leaves a single
+    table-row gather + one transpose, in bf16.
+    """
+    valid, orig = _pad_maps(D, wh, ww, wwp)
+    idx168 = np.asarray(rpi)[np.ix_(orig, orig)]  # [Np, Np] trace-time
+    Np = idx168.shape[0]
+    out = table.astype(dtype)[jnp.asarray(idx168.reshape(-1))]
+    out = out.reshape(Np, Np, -1).transpose(2, 0, 1)
+    return jnp.where(jnp.asarray(valid)[None, None, :], out,
+                     jnp.asarray(-100.0, dtype))
+
+
 def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
                       shift: Tuple[int, int, int], ww: int) -> Array:
     """Shift mask over the PADDED spatial grid: [nW, Np, Np] f32 additive.
@@ -121,28 +140,19 @@ def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
 
 def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                   b3_ref, wp_ref, bp_ref, bias_ref, mask_ref, o_ref,
-                  ln_buf, qkv_buf, ov_buf, *, D: int, wh: int, Wp: int,
-                  C: int, nH: int, wwp: int, attn_scale: float, eps: float,
+                  ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
+                  wwp: int, attn_scale: float, eps: float,
                   mask_per_window: bool):
     """One grid step = one (batch, window-row) slab.
 
-    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C];
-    qkv_buf: [3, D*wh, Wp, hd]; ov_buf: [D*wh, Wp, hd].
+    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
     All in-kernel reshapes are free tile merges (wwp is 8-aligned).
-
-    Loop structure (v2): the qkv and output projections run ONCE PER HEAD
-    over the whole slab (M = D*wh*Wp rows — full MXU streams) instead of
-    once per (window, head) (M = window tokens — 8x shorter); only the
-    inherently per-window score/softmax/pv work stays in the window loop.
     """
     nWc = Wp // wwp
-    A = D * wh
-    M = A * Wp
     Np = D * wh * wwp
-    hd = wq_ref.shape[2]
     dt = ln_buf.dtype
 
-    x = x_ref[0, :, 0].reshape(A, Wp, C)
+    x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
@@ -151,54 +161,55 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         + lnb_ref[:].astype(jnp.float32)
     ln_buf[:] = ln.astype(dt)
 
-    def head_body(h, acc):
-        ln_flat = ln_buf[:].reshape(M, C)
-        q = jax.lax.dot_general(
-            ln_flat, wq_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b3_ref[0, h]
-        k = jax.lax.dot_general(
-            ln_flat, wk_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b3_ref[1, h]
-        v = jax.lax.dot_general(
-            ln_flat, wv_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b3_ref[2, h]
-        qkv_buf[0] = q.astype(dt).reshape(A, Wp, hd)
-        qkv_buf[1] = k.astype(dt).reshape(A, Wp, hd)
-        qkv_buf[2] = v.astype(dt).reshape(A, Wp, hd)
+    def win_body(w, _):
+        xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
 
-        def win_body(w, _):
-            qw = qkv_buf[0, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
-            kw = qkv_buf[1, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
-            vw = qkv_buf[2, :, pl.ds(w * wwp, wwp), :].reshape(Np, hd)
+        def head_body(h, acc):
+            q = jax.lax.dot_general(
+                xw, wq_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[0, h]
+            k = jax.lax.dot_general(
+                xw, wk_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[1, h]
+            v = jax.lax.dot_general(
+                xw, wv_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[2, h]
             s = jax.lax.dot_general(
-                qw, kw, (((1,), (1,)), ((), ())),
+                q.astype(dt), k.astype(dt),
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * attn_scale
-            s = s + bias_ref[h]
+            s = s + bias_ref[h].astype(jnp.float32)
             if mask_per_window:
-                s = s + mask_ref[0, w]
+                s = s + mask_ref[0, w].astype(jnp.float32)
             else:
-                s = s + mask_ref[0]
+                s = s + mask_ref[0].astype(jnp.float32)
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o = jax.lax.dot_general(
-                p.astype(dt), vw, (((1,), (0,)), ((), ())),
+                p.astype(dt), v.astype(dt),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ov_buf[:, pl.ds(w * wwp, wwp), :] = o.astype(dt).reshape(
-                A, wwp, hd)
-            return 0
+            return acc + jax.lax.dot_general(
+                o.astype(dt), wp_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
-        jax.lax.fori_loop(0, nWc, win_body, 0)
-        o_flat = ov_buf[:].reshape(M, hd)
-        return acc + jax.lax.dot_general(
-            o_flat, wp_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # unrolled head loop: the per-head dots are tiny ([Np, 32]-thin), so
+        # issue overhead dominates a rolled loop; unrolling lets Mosaic
+        # software-pipeline them (round-1 measured +13% from unrolling, but
+        # at 35-min Mosaic compiles for the fully-unrolled windows x heads
+        # variant; heads-only keeps the program small enough)
+        acc = jax.lax.fori_loop(
+            0, nH, head_body, jnp.zeros((Np, C), jnp.float32),
+            unroll=True)
+        out = acc + bp_ref[:].astype(jnp.float32)
+        res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
+        out = out.astype(dt) + res.reshape(Np, C).astype(dt)
+        o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
+            D, wh, wwp, C)
+        return 0
 
-    acc = jax.lax.fori_loop(
-        0, nH, head_body, jnp.zeros((M, C), jnp.float32))
-    out = acc + bp_ref[:].astype(jnp.float32)
-    out = out.astype(dt) + x.reshape(M, C).astype(dt)
-    o_ref[0, :, 0] = out.reshape(D, wh, Wp, C)
+    jax.lax.fori_loop(0, nWc, win_body, 0)
 
 
 def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
@@ -235,20 +246,20 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
           else jnp.zeros((3, nH, 1, hd), wqkv.dtype))
     wp_h = wproj.reshape(nH, hd, C)
 
-    bias_p = pad_bias_to_kernel(bias, D, wh, ww, wwp)  # [nH, Np, Np]
+    dt = x.dtype
+    bias_p = bias.astype(dt)  # pre-padded [nH, Np, Np] (rel_pos_bias_padded)
+    assert bias_p.shape == (nH, Np, Np), bias_p.shape
     if shifted:
         mask = padded_shift_mask(D, H, Wp, (wd, wh, ww), shift, ww)
-        mask = mask.reshape(nR, nWc, Np, Np)
+        mask = mask.reshape(nR, nWc, Np, Np).astype(dt)
         mask_spec = pl.BlockSpec((1, nWc, Np, Np), lambda b, r: (r, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         mask_per_window = True
     else:
-        mask = jnp.zeros((1, Np, Np), jnp.float32)
+        mask = jnp.zeros((1, Np, Np), dt)
         mask_spec = pl.BlockSpec((1, Np, Np), lambda b, r: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         mask_per_window = False
-
-    dt = x.dtype
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, r: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
@@ -276,9 +287,7 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                lambda b, r: (b, 0, r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xk.shape, dt),
-        scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt),
-                        pltpu.VMEM((3, D * wh, Wp, hd), dt),
-                        pltpu.VMEM((D * wh, Wp, hd), dt)],
+        scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt)],
         cost_estimate=pl.CostEstimate(
             flops=B * nR * flops_step,
             bytes_accessed=2 * xk.size * xk.dtype.itemsize,
@@ -342,8 +351,8 @@ def fused_swin_block_attn(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
     """x + proj(window_attn(LN(x))) fully fused (see module docstring).
 
     x: [B, D, H, W, C]; wqkv: [C, 3C]; bqkv: [3C] | None; wproj: [C, C];
-    bias: [nH, N, N] rel-pos (N = D*wh*ww); window/shift per
-    get_window_size.
+    bias: PADDED rel-pos bias [nH, Np, Np] from rel_pos_bias_padded
+    (Np = D*wh*round8(ww)); window/shift per get_window_size.
     """
     return _fused_block_forward(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                                 bproj, bias, window, shift, nH, attn_scale,
@@ -354,6 +363,12 @@ def _ref_with_mask(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
                    window, shift, nH, attn_scale, eps):
     from lavender_tpu.models.swin3d import compute_shift_mask_jnp
     B, D, H, W, C = x.shape
+    wh, ww = window[1], window[2]
+    wwp = _round8(ww)
+    if bias.shape[-1] != D * wh * ww:  # padded bias -> unpad for the oracle
+        valid, _ = _pad_maps(D, wh, ww, wwp)
+        keep = jnp.asarray(np.where(valid)[0])
+        bias = bias[:, keep][:, :, keep].astype(jnp.float32)
     shift_mask = None
     if any(s > 0 for s in shift):
         shift_mask = compute_shift_mask_jnp(

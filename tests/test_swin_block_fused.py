@@ -17,19 +17,27 @@ from jax.experimental.pallas import tpu as pltpu
 from lavender_tpu.config import SwinConfig
 from lavender_tpu.models.swin3d import VideoSwin3D
 from lavender_tpu.ops.swin_block_attn import (
-    fused_swin_block_attn, padded_shift_mask, supports_fused_block,
-    swin_block_attn_reference)
-from lavender_tpu.models.swin3d import compute_shift_mask_jnp
+    _round8, fused_swin_block_attn, padded_shift_mask, rel_pos_bias_padded,
+    supports_fused_block, swin_block_attn_reference)
+from lavender_tpu.models.swin3d import (
+    compute_shift_mask_jnp, relative_position_index)
 
 
 def _params(C, nH, window, seed=0):
     g = np.random.RandomState(seed)
     N = int(np.prod(window))
+    L = (2 * window[0] - 1) * (2 * window[1] - 1) * (2 * window[2] - 1)
     mk = lambda *s: jnp.asarray(g.randn(*s).astype(np.float32) * 0.05)
+    table = mk(L, nH)
+    rpi = relative_position_index(tuple(window))[:N, :N]
+    bias = table[jnp.asarray(rpi.reshape(-1))].reshape(N, N, nH)
+    bias = bias.transpose(2, 0, 1)
+    bias_p = rel_pos_bias_padded(table, rpi, window[0], window[1],
+                                 window[2], _round8(window[2]), jnp.float32)
     return dict(
         ln_scale=1.0 + 0.1 * mk(C), ln_bias=0.1 * mk(C),
         wqkv=mk(C, 3 * C), bqkv=mk(3 * C), wproj=mk(C, C), bproj=mk(C),
-        bias=mk(nH, N, N))
+        bias=bias, bias_p=bias_p)
 
 
 @pytest.mark.parametrize("shift", [(0, 0, 0), (0, 2, 2)])
@@ -50,7 +58,7 @@ def test_kernel_matches_reference(shift):
     with pltpu.force_tpu_interpret_mode():
         got = fused_swin_block_attn(
             x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"],
-            p["wproj"], p["bproj"], p["bias"], window, shift, nH,
+            p["wproj"], p["bproj"], p["bias_p"], window, shift, nH,
             (C // nH) ** -0.5, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
@@ -70,7 +78,7 @@ def test_kernel_aligned_window_no_pad():
     with pltpu.force_tpu_interpret_mode():
         got = fused_swin_block_attn(
             x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"],
-            p["wproj"], p["bproj"], p["bias"], window, (0, 0, 0), nH,
+            p["wproj"], p["bproj"], p["bias_p"], window, (0, 0, 0), nH,
             (C // nH) ** -0.5, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
@@ -111,7 +119,7 @@ def test_gradients_flow():
         with pltpu.force_tpu_interpret_mode():
             out = fused_swin_block_attn(
                 x, p["ln_scale"], p["ln_bias"], wqkv, p["bqkv"],
-                p["wproj"], p["bproj"], p["bias"], window, (0, 0, 0), nH,
+                p["wproj"], p["bproj"], p["bias_p"], window, (0, 0, 0), nH,
                 (C // nH) ** -0.5, 1e-5)
         return jnp.sum(out ** 2)
 
