@@ -161,47 +161,55 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         + lnb_ref[:].astype(jnp.float32)
     ln_buf[:] = ln.astype(dt)
 
+    # heads are processed in lane-width groups: the qkv and projection
+    # matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
+    # q/k/v come out as STATIC lane slices (the group loop is a python
+    # loop, so Mosaic sees constant offsets); only the score/pv dots stay
+    # hd-thin — those are inherent to head_dim=32
+    n_grp = wq_ref.shape[0]
+    g_width = wq_ref.shape[2]
+    g_size = nH // n_grp
+    hd = g_width // g_size
+
     def win_body(w, _):
         xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
-
-        def head_body(h, acc):
-            q = jax.lax.dot_general(
-                xw, wq_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[0, h]
-            k = jax.lax.dot_general(
-                xw, wk_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[1, h]
-            v = jax.lax.dot_general(
-                xw, wv_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[2, h]
-            s = jax.lax.dot_general(
-                q.astype(dt), k.astype(dt),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * attn_scale
-            s = s + bias_ref[h].astype(jnp.float32)
-            if mask_per_window:
-                s = s + mask_ref[0, w].astype(jnp.float32)
-            else:
-                s = s + mask_ref[0].astype(jnp.float32)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                p.astype(dt), v.astype(dt),
-                (((1,), (0,)), ((), ())),
+        acc = jnp.zeros((Np, C), jnp.float32)
+        for g in range(n_grp):
+            qg = jax.lax.dot_general(
+                xw, wq_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[0, g]
+            kg = jax.lax.dot_general(
+                xw, wk_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[1, g]
+            vg = jax.lax.dot_general(
+                xw, wv_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[2, g]
+            qg, kg, vg = qg.astype(dt), kg.astype(dt), vg.astype(dt)
+            o_parts = []
+            for i in range(g_size):
+                h = g * g_size + i
+                q = qg[:, i * hd:(i + 1) * hd]
+                k = kg[:, i * hd:(i + 1) * hd]
+                v = vg[:, i * hd:(i + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * attn_scale
+                s = s + bias_ref[h].astype(jnp.float32)
+                if mask_per_window:
+                    s = s + mask_ref[0, w].astype(jnp.float32)
+                else:
+                    s = s + mask_ref[0].astype(jnp.float32)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o_parts.append(jax.lax.dot_general(
+                    p.astype(dt), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dt))
+            og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
+                  else o_parts[0])
+            acc = acc + jax.lax.dot_general(
+                og, wp_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            return acc + jax.lax.dot_general(
-                o.astype(dt), wp_ref[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-
-        # unrolled head loop: the per-head dots are tiny ([Np, 32]-thin), so
-        # issue overhead dominates a rolled loop; unrolling lets Mosaic
-        # software-pipeline them (round-1 measured +13% from unrolling, but
-        # at 35-min Mosaic compiles for the fully-unrolled windows x heads
-        # variant; heads-only keeps the program small enough)
-        acc = jax.lax.fori_loop(
-            0, nH, head_body, jnp.zeros((Np, C), jnp.float32),
-            unroll=True)
         out = acc + bp_ref[:].astype(jnp.float32)
         res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
         out = out.astype(dt) + res.reshape(Np, C).astype(dt)
@@ -238,13 +246,22 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
         xp = x
     xk = xp.reshape(B, D, nR, wh, Wp, C)
 
-    # weights, per-head layouts (no in-kernel lane slicing)
-    w3 = wqkv.reshape(C, 3, nH, hd).transpose(1, 2, 0, 3)  # [3, nH, C, hd]
-    # [3, nH, 1, hd]: the dynamic (kind, head) index must land on batch
-    # dims — Mosaic cannot dynamically index a sublane dim
-    b3 = (bqkv.reshape(3, nH, 1, hd) if bqkv is not None
-          else jnp.zeros((3, nH, 1, hd), wqkv.dtype))
-    wp_h = wproj.reshape(nH, hd, C)
+    # weights in head-GROUP layout: groups of g_size heads pack g_size*hd
+    # (<=128) lanes so the qkv/proj matmuls run full-width; per-head q/k/v
+    # are static lane slices inside the kernel
+    g_size = 1
+    for cand in (4, 2, 1):
+        if nH % cand == 0 and cand * hd <= 128:
+            g_size = cand
+            break
+    n_grp = nH // g_size
+    gw = g_size * hd
+    w3 = wqkv.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+    # [3, n_grp, 1, gw]: the (kind, group) index lands on batch dims —
+    # Mosaic cannot dynamically index a sublane dim
+    b3 = (bqkv.reshape(3, n_grp, 1, gw) if bqkv is not None
+          else jnp.zeros((3, n_grp, 1, gw), wqkv.dtype))
+    wp_h = wproj.reshape(n_grp, gw, C)
 
     dt = x.dtype
     bias_p = bias.astype(dt)  # pre-padded [nH, Np, Np] (rel_pos_bias_padded)
@@ -266,9 +283,9 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
         pl.BlockSpec((1, D, 1, wh, Wp, C), lambda b, r: (b, 0, r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         full((C,)), full((C,)),
-        full((nH, C, hd)), full((nH, C, hd)), full((nH, C, hd)),
-        full((3, nH, 1, hd)),
-        full((nH, hd, C)), full((C,)),
+        full((n_grp, C, gw)), full((n_grp, C, gw)), full((n_grp, C, gw)),
+        full((3, n_grp, 1, gw)),
+        full((n_grp, gw, C)), full((C,)),
         full((nH, Np, Np)),
         mask_spec,
     ]
