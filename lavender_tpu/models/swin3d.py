@@ -369,6 +369,19 @@ class SwinBlock3D(nn.Module):
             rate = dp_rate if dp_rate is not None else self.drop_path_rate
             use_dp = not deterministic and (
                 dp_rate is not None or self.drop_path_rate > 0.0)
+            from lavender_tpu.ops.swin_block_attn import (
+                fused_swin_block_full, full_block_fits_vmem)
+            wwp = _round8(window_size[2])
+            Np = window_size[0] * window_size[1] * wwp
+            if not use_dp and full_block_fits_vmem(
+                    C, hidden_f, self.num_heads, Np):
+                # whole block (attn + MLP + both residuals) in ONE kernel
+                return fused_swin_block_full(
+                    x, *args, n2_scale, n2_bias,
+                    k1.astype(self.dtype), b1.astype(self.dtype),
+                    k2.astype(self.dtype), b2.astype(self.dtype),
+                    window_size, shift_size, self.num_heads, scale,
+                    self.layer_norm_eps)
             if not use_dp:
                 x = fused_swin_block_attn(
                     x, *args, window_size, shift_size, self.num_heads,

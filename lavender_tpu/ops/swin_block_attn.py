@@ -93,8 +93,12 @@ def rel_pos_bias_padded(table: Array, rpi: np.ndarray, D: int, wh: int,
     valid, orig = _pad_maps(D, wh, ww, wwp)
     idx168 = np.asarray(rpi)[np.ix_(orig, orig)]  # [Np, Np] trace-time
     Np = idx168.shape[0]
-    out = table.astype(dtype)[jnp.asarray(idx168.reshape(-1))]
-    out = out.reshape(Np, Np, -1).transpose(2, 0, 1)
+    # gather along the lane axis of the (tiny) transposed table so the
+    # output lands directly in [nH, Np, Np] — the profile showed the
+    # row-gather + [Np*Np, nH] -> [nH, Np, Np] transpose at 2.3 ms/iter
+    out = jnp.take(table.astype(dtype).T, jnp.asarray(idx168.reshape(-1)),
+                   axis=1)
+    out = out.reshape(-1, Np, Np)
     return jnp.where(jnp.asarray(valid)[None, None, :], out,
                      jnp.asarray(-100.0, dtype))
 
@@ -139,11 +143,15 @@ def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
 
 
 def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
-                  b3_ref, wp_ref, bp_ref, bias_ref, mask_ref, o_ref,
+                  b3_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                  n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                   ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
                   wwp: int, attn_scale: float, eps: float,
-                  mask_per_window: bool):
-    """One grid step = one (batch, window-row) slab.
+                  mask_per_window: bool, with_mlp: bool):
+    """One grid step = one (batch, window-row) slab — a WHOLE Swin block
+    when with_mlp (attention + both residuals + LN2 + MLP; the cyclic roll
+    is a token permutation and MLP/LN are pointwise, so the merged tail is
+    exact on the rolled/padded layout).
 
     x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
     All in-kernel reshapes are free tile merges (wwp is 8-aligned).
@@ -219,12 +227,37 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
     jax.lax.fori_loop(0, nWc, win_body, 0)
 
+    if with_mlp:
+        # whole-slab LN2 + MLP + residual on the attention output (read
+        # back from the still-in-VMEM output block)
+        from lavender_tpu.ops.fused_mlp import _gelu_exact
+        y = o_ref[0, :, 0].reshape(D * wh * Wp, C)
+        yf = y.astype(jnp.float32)
+        mu2 = jnp.mean(yf, axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(yf - mu2), axis=-1, keepdims=True)
+        ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
+        ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
+            + n2b_ref[:].astype(jnp.float32)
+        hmid = jax.lax.dot_general(
+            ln2.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + b1_ref[:].astype(jnp.float32)
+        hmid = _gelu_exact(hmid)
+        o2 = jax.lax.dot_general(
+            hmid.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) \
+            + b2_ref[:].astype(jnp.float32)
+        o_ref[0, :, 0] = (y + o2.astype(dt)).reshape(D, wh, Wp, C)
+
 
 def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
                          bproj, bias, window: Tuple[int, int, int],
                          shift: Tuple[int, int, int], nH: int,
-                         attn_scale: float, eps: float) -> Array:
-    """x: [B, D, H, W, C] (channels-last).  Returns x + proj(attn(LN(x)))."""
+                         attn_scale: float, eps: float,
+                         mlp=None) -> Array:
+    """x: [B, D, H, W, C] (channels-last).  Returns x + proj(attn(LN(x)))
+    (+ LN2/MLP/residual when ``mlp`` = (n2_scale, n2_bias, w1, b1, w2, b2)
+    is given — one pallas_call per whole Swin block)."""
     B, D, H, W, C = x.shape
     wd, wh, ww = D, window[1], window[2]
     wwp = _round8(ww)
@@ -290,12 +323,29 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
         mask_spec,
     ]
 
+    with_mlp = mlp is not None
+    if with_mlp:
+        n2s, n2b, w1, b1m, w2, b2m = [a.astype(dt) for a in mlp]
+        HD = w1.shape[1]
+        in_specs += [full((C,)), full((C,)), full((C, HD)), full((HD,)),
+                     full((HD, C)), full((C,))]
+        mlp_args = (n2s, n2b, w1, b1m, w2, b2m)
+    else:
+        z = jnp.zeros((1,), dt)
+        zz = jnp.zeros((1, 1), dt)
+        in_specs += [full((1,)), full((1,)), full((1, 1)), full((1,)),
+                     full((1, 1)), full((1,))]
+        mlp_args = (z, z, zz, z, zz, z)
+
     kernel = functools.partial(
         _block_kernel, D=D, wh=wh, Wp=Wp, C=C, nH=nH, wwp=wwp,
-        attn_scale=attn_scale, eps=eps, mask_per_window=mask_per_window)
+        attn_scale=attn_scale, eps=eps, mask_per_window=mask_per_window,
+        with_mlp=with_mlp)
 
     flops_step = nWc * nH * (2 * Np * C * hd * 3 + 4 * Np * Np * hd
                              + 2 * Np * hd * C)
+    if with_mlp:
+        flops_step += 4 * (D * wh * Wp) * C * HD
     out = pl.pallas_call(
         kernel,
         grid=(B, nR),
@@ -310,7 +360,7 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
             bytes_accessed=2 * xk.size * xk.dtype.itemsize,
             transcendentals=B * nR * nWc * nH * Np * Np),
     )(xk, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
-      bias_p, mask)
+      bias_p, mask, *mlp_args)
 
     out = out.reshape(B, D, H, Wp, C)
     if wwp != ww:
@@ -412,3 +462,59 @@ def _bwd(window, shift, nH, attn_scale, eps, res, g):
 
 
 fused_swin_block_attn.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17, 18))
+def fused_swin_block_full(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                          bias, n2_scale, n2_bias, w1, b1, w2, b2,
+                          window, shift, nH, attn_scale, eps):
+    """A WHOLE Swin block in one pallas_call: attention half (as
+    fused_swin_block_attn) + LN2 + MLP + residual, with the MLP weights
+    resident in VMEM.  Use when ``full_block_fits_vmem``."""
+    return _fused_block_forward(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, window,
+        shift, nH, attn_scale, eps,
+        mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
+
+
+def _full_ref(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+              n2_scale, n2_bias, w1, b1, w2, b2, window, shift, nH,
+              attn_scale, eps):
+    from lavender_tpu.ops.fused_mlp import ln_mlp_reference
+    y = _ref_with_mask(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                       bias, window, shift, nH, attn_scale, eps)
+    C = y.shape[-1]
+    flat = y.reshape(-1, C)
+    out = flat + ln_mlp_reference(
+        flat, n2_scale, n2_bias, w1, b1, w2, b2, eps).astype(y.dtype)
+    return out.reshape(y.shape)
+
+
+def _full_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+              n2_scale, n2_bias, w1, b1, w2, b2, window, shift, nH,
+              attn_scale, eps):
+    out = _fused_block_forward(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, window,
+        shift, nH, attn_scale, eps,
+        mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 n2_scale, n2_bias, w1, b1, w2, b2)
+
+
+def _full_bwd(window, shift, nH, attn_scale, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _full_ref(*a, window, shift, nH, attn_scale, eps), *res)
+    return vjp(g)
+
+
+fused_swin_block_full.defvjp(_full_fwd, _full_bwd)
+
+
+def full_block_fits_vmem(C: int, HD: int, nH: int, Np: int,
+                         budget: int = 13 * 1024 * 1024) -> bool:
+    """VMEM budget check for the merged block kernel (bf16 weights +
+    biases/masks + f32 MLP intermediate at slab size)."""
+    attn_w = (3 * C * C + C * C) * 2
+    mlp_w = 2 * C * HD * 2
+    bias_b = nH * Np * Np * 2
+    return attn_w + mlp_w + bias_b + 4 * 1024 * 1024 <= budget

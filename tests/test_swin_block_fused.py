@@ -135,3 +135,40 @@ def test_gradients_flow():
     gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, p["wqkv"])
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), atol=1e-4)
+
+
+@pytest.mark.parametrize("shift", [(0, 0, 0), (0, 2, 2)])
+def test_full_block_kernel_matches_reference(shift):
+    """Merged attn+MLP kernel == attn reference + LN2/MLP reference."""
+    from lavender_tpu.ops.fused_mlp import ln_mlp_reference
+    from lavender_tpu.ops.swin_block_attn import fused_swin_block_full
+    B, D, H, W, C, nH = 2, 3, 14, 14, 32, 4
+    window = (3, 7, 7)
+    p = _params(C, nH, window, seed=7)
+    g = np.random.RandomState(8)
+    x = jnp.asarray(g.randn(B, D, H, W, C).astype(np.float32))
+    HD = 2 * C
+    n2s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    n2b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    w1 = jnp.asarray(g.randn(C, HD).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(g.randn(HD).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(g.randn(HD, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(g.randn(C).astype(np.float32) * 0.05)
+
+    shift_mask = None
+    if any(shift):
+        shift_mask = compute_shift_mask_jnp(D, H, W, window, shift)
+    y = swin_block_attn_reference(
+        x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"], p["wproj"],
+        p["bproj"], p["bias"], window, shift, nH, (C // nH) ** -0.5, 1e-5,
+        shift_mask)
+    flat = y.reshape(-1, C)
+    want = (flat + ln_mlp_reference(flat, n2s, n2b, w1, b1, w2, b2,
+                                    1e-5)).reshape(y.shape)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_swin_block_full(
+            x, p["ln_scale"], p["ln_bias"], p["wqkv"], p["bqkv"],
+            p["wproj"], p["bproj"], p["bias_p"], n2s, n2b, w1, b1, w2, b2,
+            window, shift, nH, (C // nH) ** -0.5, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
