@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--no-scan", action="store_true",
                     help="disable scan-over-layers (debug)")
     ap.add_argument("--tiny", action="store_true", help="tiny model (debug)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the retrieval-MLM TRAIN step (fwd+bwd+"
+                         "AdamW with the B x B pair product) instead of "
+                         "inference")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +89,57 @@ def main():
         if x.dtype == jnp.float32 else x, variables)
 
     iters = args.iters
+
+    if args.train:
+        # the training path: B x B pairwise fusion + MLM loss + AdamW
+        # (Agent_Retrieval_MLM.step train branch, main_retrieval_mlm.py)
+        from lavender_tpu.config import TrainConfig
+        from lavender_tpu.tasks import retrieval
+        from lavender_tpu.train import optimizer as opt_lib
+        from lavender_tpu.train import trainer
+        tcfg = TrainConfig(max_iter=1000, max_grad_norm=1.0)
+        tx = opt_lib.build_optimizer(variables["params"], tcfg)
+        state = trainer.create_train_state(variables["params"], tx, seed=0)
+        loss_fn = retrieval.make_loss_fn(
+            model, true_id=min(2081, bert.vocab_size - 2),
+            false_id=min(6270, bert.vocab_size - 1))
+        vid = jnp.arange(B, dtype=jnp.int32)
+
+        @jax.jit
+        def train_n(state, img_u8, txt, mask):
+            def body(state, _):
+                img = device_normalize(img_u8, dtype=jnp.bfloat16)
+                batch = {"img": img, "txt": txt, "mask": mask, "vid": vid}
+                rng, new_rng = jax.random.split(state.rng)
+                out, grads = jax.value_and_grad(loss_fn)(
+                    state.params, batch, rng)
+                import optax
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return trainer.TrainState(
+                    step=state.step + 1, params=new_params,
+                    opt_state=new_opt, rng=new_rng), out
+
+            state, losses = jax.lax.scan(body, state, None, length=iters)
+            return state, losses[-1]
+
+        state, l0 = train_n(state, img_u8, txt, mask)  # compile+warm
+        jax.block_until_ready(l0)
+        t0 = time.perf_counter()
+        state, loss = train_n(state, img_u8, txt, mask)
+        loss = float(loss)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss)
+        clips_per_sec = args.batch * iters / dt
+        print(json.dumps({
+            "metric": "clips/sec/chip retrieval-MLM TRAIN step "
+                      "(BxB pairs, fwd+bwd+AdamW, bf16)",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/sec",
+            "vs_baseline": round(clips_per_sec / (5000.0 / 8.0), 3),
+        }))
+        return
 
     @jax.jit
     def forward_n(variables, img_u8, txt, mask):

@@ -418,9 +418,11 @@ class SwinBlock3D(nn.Module):
                 out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1, k2, b2,
                                    self.layer_norm_eps, True)
             else:
-                out = flat + ln_mlp_reference(
+                # stage-4-sized MLP (16.8 MB weights): stream HD chunks
+                from lavender_tpu.ops.fused_mlp import fused_ln_mlp_chunked
+                out = fused_ln_mlp_chunked(
                     flat, n2_scale, n2_bias, k1, b1, k2, b2,
-                    self.layer_norm_eps).astype(self.dtype)
+                    self.layer_norm_eps, add_residual=True)
             return out.astype(self.dtype).reshape(x.shape)
 
         norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,

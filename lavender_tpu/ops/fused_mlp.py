@@ -146,3 +146,88 @@ fused_ln_mlp.defvjp(_fwd, _bwd)
 def weights_fit_vmem(C: int, HD: int, bytes_per: int = 2,
                      budget: int = 10 * 1024 * 1024) -> bool:
     return 2 * C * HD * bytes_per <= budget
+
+
+def _chunked_kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref, o_ref, ln_buf, *, eps: float,
+                    add_residual: bool):
+    """Grid (token-tile, HD-chunk): LN once per token tile (chunk 0), then
+    accumulate each HD chunk's fc2 partial product into the revisited
+    output block (the standard K-chunked matmul accumulation pattern)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        x = x_ref[:].astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        ln = (x - mean) * jax.lax.rsqrt(var + eps)
+        ln = ln * scale_ref[0].astype(jnp.float32) \
+            + bias_ref[0].astype(jnp.float32)
+        ln_buf[:] = ln.astype(ln_buf.dtype)
+        base = b2_ref[0].astype(jnp.float32)
+        if add_residual:
+            o_ref[:] = (base[None] + x).astype(o_ref.dtype)
+        else:
+            o_ref[:] = jnp.broadcast_to(
+                base[None], o_ref.shape).astype(o_ref.dtype)
+
+    wdt = w1_ref.dtype
+    h = jax.lax.dot_general(
+        ln_buf[:], w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    h = _gelu_exact(h)
+    o = jax.lax.dot_general(
+        h.astype(wdt), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[:] = o_ref[:] + o.astype(o_ref.dtype)
+
+
+def fused_ln_mlp_chunked(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                         eps: float = 1e-5, add_residual: bool = False,
+                         hd_chunk: int = 1024, tm: int = 512):
+    """LN+MLP(+residual) with the 4x-wide weights streamed in HD chunks —
+    for layers whose full weights exceed VMEM (Swin stage 4: C=1024,
+    HD=4096 -> 16.8 MB; round 1 fell back to unfused XLA there).
+
+    Forward-only building block (no custom_vjp): the training path uses the
+    reference math.
+    """
+    M, C = x.shape
+    HD = w1.shape[1]
+    while HD % hd_chunk != 0:
+        hd_chunk //= 2
+    nj = HD // hd_chunk
+    Mp = ((M + tm - 1) // tm) * tm
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
+    vec = lambda a: a.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_chunked_kernel, eps=eps,
+                          add_residual=add_residual),
+        grid=(Mp // tm, nj),
+        in_specs=[
+            pl.BlockSpec((tm, C), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hd_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd_chunk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd_chunk, C), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, C), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((tm, C), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * C * HD,
+            bytes_accessed=4 * Mp * C + 2 * C * HD * 4,
+            transcendentals=Mp * HD),
+    )(xp, vec(ln_scale), vec(ln_bias), w1, vec(b1), w2, vec(b2))
+    return out[:M] if Mp != M else out

@@ -105,3 +105,24 @@ def test_fused_ln_mlp_matches_reference():
         x, s, b, w1, b1, w2, b2) ** 2).sum())(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_chunked_ln_mlp_matches_reference():
+    """HD-chunked MLP kernel (stage-4 weights path) == reference."""
+    from lavender_tpu.ops.fused_mlp import (
+        fused_ln_mlp_chunked, ln_mlp_reference)
+    g = np.random.RandomState(0)
+    M, C, HD = 200, 64, 256
+    x = jnp.asarray(g.randn(M, C).astype(np.float32))
+    s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    w1 = jnp.asarray(g.randn(C, HD).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(g.randn(HD).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(g.randn(HD, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(g.randn(C).astype(np.float32) * 0.05)
+    want = x + ln_mlp_reference(x, s, b, w1, b1, w2, b2, 1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_ln_mlp_chunked(x, s, b, w1, b1, w2, b2, 1e-5,
+                                   add_residual=True, hd_chunk=64, tm=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
