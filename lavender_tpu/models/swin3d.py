@@ -175,7 +175,11 @@ def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, p=keep, shape=shape)
-    return jnp.where(mask, x / keep, 0.0)
+    # divide in x.dtype: a TRACED rate (scanned stages feed dp rates as f32
+    # scan inputs) would otherwise promote bf16 activations to f32 and break
+    # the scan-carry dtype invariant
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype))
 
 
 class Mlp(nn.Module):

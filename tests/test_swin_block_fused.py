@@ -172,3 +172,16 @@ def test_full_block_kernel_matches_reference(shift):
             window, shift, nH, (C // nH) ** -0.5, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_drop_path_traced_rate_keeps_dtype():
+    """A traced drop-path rate must not promote bf16 activations (breaks
+    the scanned-stage carry dtype); caught by the TPU train bench."""
+    from lavender_tpu.models.swin3d import drop_path
+    x = jnp.ones((4, 3, 3), jnp.bfloat16)
+
+    def f(rate):
+        return drop_path(x, rate, False, jax.random.PRNGKey(0))
+
+    out = jax.jit(f)(jnp.float32(0.2))
+    assert out.dtype == jnp.bfloat16
