@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
-    ap.add_argument("--attn", default="pallas",
+    ap.add_argument("--attn", default="fused",
                     choices=["xla", "pallas", "fused"],
                     help="window-attention implementation")
     ap.add_argument("--no-scan", action="store_true",
