@@ -69,6 +69,8 @@ def main():
         bert = BertConfig()
     swin = dataclasses.replace(swin, attn_impl=args.attn,
                                scan_blocks=not args.no_scan)
+    if args.attn == "fused":
+        bert = dataclasses.replace(bert, fused_ffn=True)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 

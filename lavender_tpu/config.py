@@ -77,6 +77,9 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     pad_token_id: int = 0
+    # serving: fuse fc1+gelu+fc2+residual+post-LN into one Pallas kernel
+    # (bf16 deterministic forward only; training uses the module path)
+    fused_ffn: bool = False
 
     @property
     def head_dim(self) -> int:

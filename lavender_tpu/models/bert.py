@@ -196,6 +196,26 @@ class BertLayer(nn.Module):
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def _ffn(self, x: Array, deterministic: bool) -> Array:
+        cfg = self.config
+        if (getattr(cfg, "fused_ffn", False) and deterministic
+                and x.dtype == jnp.bfloat16 and not self.is_initializing()):
+            # fused fc1+gelu+fc2+residual+post-LN (serving path) on the
+            # SAME params as the module path
+            from lavender_tpu.ops.fused_mlp import fused_ffn_post_ln
+            sh = x.shape
+            dt = x.dtype
+            out = fused_ffn_post_ln(
+                x.reshape(-1, sh[-1]),
+                self.intermediate_dense.variables["params"]["kernel"
+                                                            ].astype(dt),
+                self.intermediate_dense.variables["params"]["bias"
+                                                            ].astype(dt),
+                self.output_dense.variables["params"]["kernel"].astype(dt),
+                self.output_dense.variables["params"]["bias"].astype(dt),
+                self.output_LayerNorm.variables["params"]["scale"],
+                self.output_LayerNorm.variables["params"]["bias"],
+                cfg.layer_norm_eps)
+            return out.reshape(sh)
         h = self.intermediate_dense(x)
         h = nn.gelu(h, approximate=False)
         h = self.output_dense(h)

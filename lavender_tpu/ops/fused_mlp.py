@@ -231,3 +231,86 @@ def fused_ln_mlp_chunked(x, ln_scale, ln_bias, w1, b1, w2, b2,
             transcendentals=Mp * HD),
     )(xp, vec(ln_scale), vec(ln_bias), w1, vec(b1), w2, vec(b2))
     return out[:M] if Mp != M else out
+
+
+def _ffn_post_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
+                        lb_ref, o_ref, *, eps: float):
+    """BERT FFN sub-block: LN(x + fc2(gelu(fc1(x)))) — post-LN order
+    (BertLayer._ffn, models/bert.py; HF BertOutput)."""
+    wdt = w1_ref.dtype
+    x = x_ref[:]
+    h = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    h = _gelu_exact(h)
+    o = jax.lax.dot_general(
+        h.astype(wdt), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    r = o + x.astype(jnp.float32)
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean((r - mean) ** 2, axis=-1, keepdims=True)
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * s_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
+    o_ref[:] = ln.astype(o_ref.dtype)
+
+
+def _ffn_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    M, C = x.shape
+    HD = w1.shape[1]
+    TM = max(256, min(2048, (4 * 1024 * 1024) // max(HD * 4, 1)))
+    Mp = ((M + TM - 1) // TM) * TM
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
+    vec = lambda a: a.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(_ffn_post_ln_kernel, eps=eps),
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HD, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * C * HD,
+            bytes_accessed=4 * Mp * C + 2 * C * HD * 4,
+            transcendentals=Mp * HD),
+    )(xp, w1, vec(b1), w2, vec(b2), vec(ln_scale), vec(ln_bias))
+    return out[:M] if Mp != M else out
+
+
+def _ffn_reference(x, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    cdt = x.dtype
+    h = x @ w1.astype(cdt) + b1.astype(cdt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    o = h.astype(cdt) @ w2.astype(cdt) + b2.astype(cdt)
+    r = (o + x).astype(jnp.float32)
+    mean = r.mean(-1, keepdims=True)
+    var = ((r - mean) ** 2).mean(-1, keepdims=True)
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return ln.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ffn_post_ln(x, w1, b1, w2, b2, ln_scale, ln_bias, eps=1e-12):
+    """LN(x + fc2(gelu(fc1(x)))) fused — the BERT FFN sub-block."""
+    return _ffn_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, eps)
+
+
+def _ffn_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    return _ffn_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, eps), (
+        x, w1, b1, w2, b2, ln_scale, ln_bias)
+
+
+def _ffn_bwd(eps, res, g):
+    _, vjp = jax.vjp(lambda *a: _ffn_reference(*a, eps), *res)
+    return vjp(g)
+
+
+fused_ffn_post_ln.defvjp(_ffn_fwd, _ffn_bwd)

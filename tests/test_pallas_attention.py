@@ -126,3 +126,32 @@ def test_chunked_ln_mlp_matches_reference():
                                    add_residual=True, hd_chunk=64, tm=64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_ffn_post_ln_matches_reference():
+    from lavender_tpu.ops.fused_mlp import _ffn_reference, fused_ffn_post_ln
+    g = np.random.RandomState(2)
+    M, C, HD = 100, 64, 256
+    x = jnp.asarray(g.randn(M, C).astype(np.float32))
+    w1 = jnp.asarray(g.randn(C, HD).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(g.randn(HD).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(g.randn(HD, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(g.randn(C).astype(np.float32) * 0.05)
+    s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    want = _ffn_reference(x, w1, b1, w2, b2, s, b, 1e-12)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_ffn_post_ln(x, w1, b1, w2, b2, s, b, 1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    # gradients flow via the reference vjp
+    def loss(x):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ffn_post_ln(x, w1, b1, w2, b2, s, b) ** 2)
+    gx = jax.grad(loss)(x)
+    gx_ref = jax.grad(
+        lambda x: jnp.sum(_ffn_reference(x, w1, b1, w2, b2, s, b,
+                                         1e-12) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               atol=1e-3, rtol=1e-3)
