@@ -258,6 +258,7 @@ def _ffn_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, eps):
     M, C = x.shape
     HD = w1.shape[1]
     TM = max(256, min(2048, (4 * 1024 * 1024) // max(HD * 4, 1)))
+    TM = max(256, (TM // 256) * 256)  # tile must be sublane-aligned
     Mp = ((M + TM - 1) // TM) * TM
     xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
     vec = lambda a: a.reshape(1, -1)
