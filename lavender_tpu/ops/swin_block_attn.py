@@ -68,18 +68,6 @@ def _pad_maps(D: int, wh: int, ww: int, wwp: int):
     return valid, orig
 
 
-def pad_bias_to_kernel(bias: Array, D: int, wh: int, ww: int,
-                       wwp: int) -> Array:
-    """Scatter the [nH, N, N] rel-pos bias into the padded token grid
-    [nH, Np, Np]; padded KEY columns get -100 (softmax-zero, the
-    reference's shift-mask convention)."""
-    valid, orig = _pad_maps(D, wh, ww, wwp)
-    validj = jnp.asarray(valid)
-    idx = jnp.asarray(orig)
-    out = bias[:, idx][:, :, idx]
-    return jnp.where(validj[None, None, :], out, -100.0).astype(jnp.float32)
-
-
 def rel_pos_bias_padded(table: Array, rpi: np.ndarray, D: int, wh: int,
                         ww: int, wwp: int, dtype) -> Array:
     """table [L, nH] + rel-pos index [N, N] -> padded additive bias
@@ -193,6 +181,11 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                 xw, wv_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b3_ref[2, g]
             qg, kg, vg = qg.astype(dt), kg.astype(dt), vg.astype(dt)
+            # NOTE: a block-diagonal variant batching the g_size score/pv
+            # dots into one wide dot each (constant lane masks, zero
+            # scatters) measured SLOWER (280 -> 257 clips/s): the 4x padded
+            # FLOPs beat the saved dot-issue overhead.  Thin per-head dots
+            # kept deliberately.
             o_parts = []
             for i in range(g_size):
                 h = g * g_size + i
