@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--parts", default="swin,stages,fusion")
+    ap.add_argument("--fused-attn", action="store_true",
+                    help="fusion-encoder attention via the Pallas kernel")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,9 @@ def main():
 
     swin = dataclasses.replace(SWIN_PRESETS["base"], attn_impl=args.attn,
                                scan_blocks=True)
-    cfg = ModelConfig(swin=swin, bert=BertConfig(), dtype="bfloat16")
+    bert = BertConfig(fused_ffn=(args.attn == "fused"),
+                      fused_attn=args.fused_attn)
+    cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     B, T, S = args.batch, 5, 224
     iters = args.iters
 

@@ -80,6 +80,13 @@ class BertConfig:
     # serving: fuse fc1+gelu+fc2+residual+post-LN into one Pallas kernel
     # (bf16 deterministic forward only; training uses the module path)
     fused_ffn: bool = False
+    # serving: self-attention via ops/encoder_attention.py (scores kept in
+    # VMEM).  Default OFF: standalone it wins (-0.4 ms on the 12-layer
+    # fusion stack) but in the full flagship program it measured SLOWER
+    # (bench 272 vs 280 — the q/k/v layout handoff around the pallas_call
+    # costs more than the saved softmax round-trip).  Kept for shapes/HW
+    # where it wins; see PERF.md.
+    fused_attn: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -99,6 +99,19 @@ class BertSelfAttention(nn.Module):
     def _attend(self, q: Array, k: Array, v: Array, attn_bias: Array,
                 deterministic: bool) -> Array:
         cfg = self.config
+        if (getattr(cfg, "fused_attn", False) and deterministic
+                and q.dtype == jnp.bfloat16 and q.shape[2] == k.shape[2]
+                and not self.is_initializing()):
+            # serving path: keep the [B, nH, L, L] scores in VMEM — the XLA
+            # path round-trips them through HBM around the softmax (the
+            # dominant fusion-encoder traffic at the measured ~122 GB/s)
+            from lavender_tpu.ops.encoder_attention import (
+                fused_encoder_attention)
+            B, nH, L, hd = q.shape
+            mask = jnp.broadcast_to(attn_bias, (B, 1, L, L)).reshape(B, L, L)
+            out = fused_encoder_attention(q, k, v, mask.astype(jnp.float32),
+                                          float(cfg.head_dim) ** -0.5)
+            return out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         attn = jnp.einsum("bhld,bhmd->bhlm", q, k,
                           preferred_element_type=jnp.float32)
         attn = attn / jnp.sqrt(cfg.head_dim).astype(attn.dtype)

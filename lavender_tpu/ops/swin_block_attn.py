@@ -155,7 +155,6 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     ln = (xf - mu) * jax.lax.rsqrt(var + eps)
     ln = ln * scale_ref[:].astype(jnp.float32) \
         + lnb_ref[:].astype(jnp.float32)
-    ln_buf[:] = ln.astype(dt)
 
     # heads are processed in lane-width groups: the qkv and projection
     # matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
@@ -167,8 +166,8 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     g_size = nH // n_grp
     hd = g_width // g_size
 
-    def win_body(w, _):
-        xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
+    def attn_window(xw, mask_w):
+        """xw [Np, C] dt, mask_w [Np, Np] f32 -> proj output + bias, f32."""
         acc = jnp.zeros((Np, C), jnp.float32)
         for g in range(n_grp):
             qg = jax.lax.dot_general(
@@ -196,10 +195,7 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * attn_scale
                 s = s + bias_ref[h].astype(jnp.float32)
-                if mask_per_window:
-                    s = s + mask_ref[0, w].astype(jnp.float32)
-                else:
-                    s = s + mask_ref[0].astype(jnp.float32)
+                s = s + mask_w
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -211,14 +207,38 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             acc = acc + jax.lax.dot_general(
                 og, wp_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        out = acc + bp_ref[:].astype(jnp.float32)
-        res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
-        out = out.astype(dt) + res.reshape(Np, C).astype(dt)
-        o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
-            D, wh, wwp, C)
-        return 0
+        return acc + bp_ref[:].astype(jnp.float32)
 
-    jax.lax.fori_loop(0, nWc, win_body, 0)
+    if nWc <= 2:
+        # few-window stages (3, 4): a STATIC python loop — every ln/x/o
+        # slice is a constant 8-row-aligned offset and the ln scratch
+        # round-trip disappears (measured: stage 4 2.79 -> 2.36 ms)
+        for w in range(nWc):
+            xw = ln[:, w * wwp:(w + 1) * wwp, :].astype(dt).reshape(Np, C)
+            mask_w = (mask_ref[0, w] if mask_per_window
+                      else mask_ref[0]).astype(jnp.float32)
+            out = attn_window(xw, mask_w)
+            res = x_ref[0, :, 0, :, w * wwp:(w + 1) * wwp, :]
+            out = out.astype(dt) + res.reshape(Np, C).astype(dt)
+            o_ref[0, :, 0, :, w * wwp:(w + 1) * wwp, :] = out.reshape(
+                D, wh, wwp, C)
+    else:
+        # many-window stages (1, 2): rolled fori keeps the program small —
+        # a full unroll here made Mosaic spill (PERF.md "v4" experiment)
+        ln_buf[:] = ln.astype(dt)
+
+        def win_body(w, _):
+            xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
+            mask_w = (mask_ref[0, w] if mask_per_window
+                      else mask_ref[0]).astype(jnp.float32)
+            out = attn_window(xw, mask_w)
+            res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
+            out = out.astype(dt) + res.reshape(Np, C).astype(dt)
+            o_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :] = out.reshape(
+                D, wh, wwp, C)
+            return 0
+
+        jax.lax.fori_loop(0, nWc, win_body, 0)
 
     if with_mlp:
         # whole-slab LN2 + MLP + residual on the attention output (read

@@ -179,3 +179,29 @@ def test_bert_encoder_fused_ffn_matches_module_path():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2)  # bf16 forward; kernel uses f32 LN stats
+
+
+def test_bert_encoder_fused_attn_matches_module_path():
+    """BertEncoder with fused_attn=True (VMEM-resident scores) == module."""
+    import dataclasses
+    from lavender_tpu.config import BertConfig
+    from lavender_tpu.models.bert import BertEncoder, extended_attention_mask
+    cfg = BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    g = np.random.RandomState(3)
+    x = jnp.asarray(g.randn(2, 9, 32).astype(np.float32)).astype(jnp.bfloat16)
+    m = jnp.asarray(np.concatenate(
+        [np.ones((2, 6), np.int32), np.zeros((2, 3), np.int32)], axis=1))
+    bias = extended_attention_mask(m)
+    enc = BertEncoder(cfg, dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x, bias)
+    want = enc.apply(params, x, bias)
+    enc_f = BertEncoder(dataclasses.replace(cfg, fused_attn=True),
+                        dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = enc_f.apply(params, x, bias)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)
