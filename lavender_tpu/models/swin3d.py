@@ -508,11 +508,13 @@ class PatchMerging(nn.Module):
         B, D, H, W, C = x.shape
         if H % 2 == 1 or W % 2 == 1:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-        x0 = x[:, :, 0::2, 0::2, :]
-        x1 = x[:, :, 1::2, 0::2, :]
-        x2 = x[:, :, 0::2, 1::2, :]
-        x3 = x[:, :, 1::2, 1::2, :]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+            H, W = x.shape[2], x.shape[3]
+        # one relayout instead of four stride-2 slices + concat: the
+        # reshapes are free, and flattening (pw, ph, C) yields exactly the
+        # reference's [x0; x1; x2; x3] channel order (video_swin.py:273-278)
+        x = x.reshape(B, D, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 2, 4, 5, 3, 6)  # [..., pw, ph, C]
+        x = x.reshape(B, D, H // 2, W // 2, 4 * C)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
@@ -630,6 +632,11 @@ class PatchEmbed3D(nn.Module):
     patch_norm: bool = True
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
+    # "conv" (XLA conv, default) | "s2d" (space-to-depth matmul).  Measured
+    # (PERF.md): conv 1.91 ms vs s2d 3.33 — the C_in=3 -> 48-lane
+    # space-to-depth relayout costs more than the conv's MXU underuse;
+    # the earlier note claiming s2d wins was wrong.
+    impl: str = "conv"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -640,15 +647,14 @@ class PatchEmbed3D(nn.Module):
         # Reference always pads the temporal axis end by 1 (video_swin.py:396)
         # so with kernel 2 / stride 1 the temporal length is preserved.
         x = jnp.pad(x, ((0, 0), (0, 1), (0, pad_h), (0, pad_w), (0, 0)))
-        # space-to-depth + matmul instead of running nn.Conv: a C_in=3
-        # conv wastes the MXU (measured ~1.2 ms/iter); identical math as one
-        # dense [B*D*h*w, pd*ph*pw*3] @ [., embed_dim] matmul.  The param
-        # tree stays nn.Conv-compatible ("proj" kernel DHWIO + bias) so
-        # checkpoints and golden tests are unchanged.
+        # Both impls share one param tree (nn.Conv "proj" kernel DHWIO +
+        # bias) so checkpoints and golden tests are unchanged; the s2d
+        # branch is the same math as one dense
+        # [B*D*h*w, pd*ph*pw*3] @ [., embed_dim] matmul.
         conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
                        strides=(1, ph, pw), padding="VALID",
                        dtype=self.dtype, name="proj")
-        if self.is_initializing():
+        if self.is_initializing() or self.impl == "conv":
             out = conv(x)  # init: create the conv params; same output
         else:
             Bp, Dp, Hp, Wp, _ = x.shape

@@ -175,3 +175,18 @@ def test_device_built_masks_match_numpy():
         np.testing.assert_array_equal(
             np.asarray(swin3d.compute_shift_mask_jnp(D, H, W, ws, ss)),
             swin3d.compute_shift_mask(D, H, W, ws, ss))
+
+
+def test_patch_embed_impls_match():
+    """PatchEmbed3D impl='s2d' == impl='conv' on the same params."""
+    import jax
+    import jax.numpy as jnp
+    from lavender_tpu.models.swin3d import PatchEmbed3D
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.rand(2, 5, 32, 32, 3).astype(np.float32))
+    pe_conv = PatchEmbed3D(embed_dim=32, impl="conv")
+    params = pe_conv.init(jax.random.PRNGKey(0), x)
+    want = pe_conv.apply(params, x)
+    got = PatchEmbed3D(embed_dim=32, impl="s2d").apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
