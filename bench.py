@@ -33,6 +33,9 @@ def main():
                     help="window-attention implementation")
     ap.add_argument("--no-scan", action="store_true",
                     help="disable scan-over-layers (debug)")
+    ap.add_argument("--fused-bert-attn", action="store_true",
+                    help="fusion-encoder attention via the Pallas kernel "
+                         "(BertConfig.fused_attn)")
     ap.add_argument("--tiny", action="store_true", help="tiny model (debug)")
     ap.add_argument("--train", action="store_true",
                     help="measure the retrieval-MLM TRAIN step (fwd+bwd+"
@@ -74,6 +77,8 @@ def main():
                                scan_blocks=not args.no_scan)
     if args.attn == "fused":
         bert = dataclasses.replace(bert, fused_ffn=True)
+    if args.fused_bert_attn:
+        bert = dataclasses.replace(bert, fused_attn=True)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 
@@ -131,11 +136,13 @@ def main():
 
         state, l0 = train_n(state, img_u8, txt, mask)  # compile+warm
         jax.block_until_ready(l0)
-        t0 = time.perf_counter()
-        state, loss = train_n(state, img_u8, txt, mask)
-        loss = float(loss)
-        dt = time.perf_counter() - t0
-        assert np.isfinite(loss)
+        dt = float("inf")
+        for _ in range(max(1, args.reps)):
+            t0 = time.perf_counter()
+            state, loss = train_n(state, img_u8, txt, mask)
+            loss = float(loss)  # fetch = sync (block_until_ready does not
+            dt = min(dt, time.perf_counter() - t0)  # sync through the relay)
+            assert np.isfinite(loss)
         clips_per_sec = args.batch * iters / dt
         print(json.dumps({
             "metric": "clips/sec/chip retrieval-MLM TRAIN step "
