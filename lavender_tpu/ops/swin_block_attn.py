@@ -167,12 +167,19 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     hd = g_width // g_size
 
     def attn_window(xw, mask_w):
-        """xw [Np, C] dt, mask_w [Np, Np] f32 -> proj output + bias, f32."""
+        """xw [Np, C] dt, mask_w [Np, Np] f32 | None -> proj out + bias, f32.
+
+        VPU passes over the [Np, Np] score tile are the per-head serial
+        cost, so: attn_scale is folded into q per GROUP ([Np, 128] mult),
+        the zero shift-mask of non-shifted blocks is skipped entirely
+        (mask_w=None), and the softmax division is deferred until after
+        the pv dot ([Np, hd] divide instead of [Np, Np])."""
         acc = jnp.zeros((Np, C), jnp.float32)
         for g in range(n_grp):
-            qg = jax.lax.dot_general(
+            qg = (jax.lax.dot_general(
                 xw, wq_ref[g], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b3_ref[0, g]
+                preferred_element_type=jnp.float32) + b3_ref[0, g]) \
+                * attn_scale
             kg = jax.lax.dot_general(
                 xw, wk_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b3_ref[1, g]
@@ -193,15 +200,17 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                 v = vg[:, i * hd:(i + 1) * hd]
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * attn_scale
+                    preferred_element_type=jnp.float32)
                 s = s + bias_ref[h].astype(jnp.float32)
-                s = s + mask_w
+                if mask_w is not None:
+                    s = s + mask_w
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                o_parts.append(jax.lax.dot_general(
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
                     p.astype(dt), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dt))
+                    preferred_element_type=jnp.float32)
+                o_parts.append((o / l).astype(dt))
             og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
                   else o_parts[0])
             acc = acc + jax.lax.dot_general(
@@ -215,8 +224,8 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         # round-trip disappears (measured: stage 4 2.79 -> 2.36 ms)
         for w in range(nWc):
             xw = ln[:, w * wwp:(w + 1) * wwp, :].astype(dt).reshape(Np, C)
-            mask_w = (mask_ref[0, w] if mask_per_window
-                      else mask_ref[0]).astype(jnp.float32)
+            mask_w = (mask_ref[0, w].astype(jnp.float32)
+                      if mask_per_window else None)
             out = attn_window(xw, mask_w)
             res = x_ref[0, :, 0, :, w * wwp:(w + 1) * wwp, :]
             out = out.astype(dt) + res.reshape(Np, C).astype(dt)
@@ -229,8 +238,8 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
         def win_body(w, _):
             xw = ln_buf[:, pl.ds(w * wwp, wwp), :].reshape(Np, C)
-            mask_w = (mask_ref[0, w] if mask_per_window
-                      else mask_ref[0]).astype(jnp.float32)
+            mask_w = (mask_ref[0, w].astype(jnp.float32)
+                      if mask_per_window else None)
             out = attn_window(xw, mask_w)
             res = x_ref[0, :, 0, :, pl.ds(w * wwp, wwp), :]
             out = out.astype(dt) + res.reshape(Np, C).astype(dt)
