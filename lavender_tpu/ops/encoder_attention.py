@@ -56,15 +56,18 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         k = k_ref[0, h]
         v = v_ref[0, h]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         s = s + mask
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, h] = jax.lax.dot_general(
+        # no max-subtraction (see swin_block_attn.py: the lane-reduce +
+        # subtract passes dominate); exp(min(s, 80)) is exact softmax for
+        # logits <= 80 and finite above; division deferred past the pv dot
+        p = jnp.exp(jnp.minimum(s, 80.0))
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
 
 
 def _forward(q: Array, k: Array, v: Array, mask: Array,
