@@ -77,7 +77,7 @@ def main():
     swin = dataclasses.replace(swin, attn_impl=args.attn,
                                scan_blocks=not args.no_scan)
     if args.attn == "fused":
-        bert = dataclasses.replace(bert, fused_ffn=True)
+        bert = dataclasses.replace(bert, fused_ffn=True, fused_attn=True)
     if args.fused_bert_attn:
         bert = dataclasses.replace(bert, fused_attn=True)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")

@@ -81,11 +81,11 @@ class BertConfig:
     # (bf16 deterministic forward only; training uses the module path)
     fused_ffn: bool = False
     # serving: self-attention via ops/encoder_attention.py (scores kept in
-    # VMEM).  Default OFF: standalone it wins (-0.4 ms on the 12-layer
-    # fusion stack) but in the full flagship program it measured SLOWER
-    # (bench 272 vs 280 — the q/k/v layout handoff around the pallas_call
-    # costs more than the saved softmax round-trip).  Kept for shapes/HW
-    # where it wins; see PERF.md.
+    # VMEM, minimum-VPU-pass softmax).  With the stable-softmax kernel it
+    # measured slower than XLA in the full program (276.9 vs 283.8); after
+    # dropping the max-subtraction it wins (336.7 vs 327.7) — see PERF.md.
+    # Enabled by bench.py/the flagship entry; off for training (the module
+    # path has dropout + XLA's fused bwd).
     fused_attn: bool = False
 
     @property
