@@ -61,7 +61,8 @@ def _kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             o_ref, *, eps: float, add_residual: bool):
     x = x_ref[:].astype(jnp.float32)  # [TM, C]
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    # E[x^2] - mean^2: one fewer [TM, C] pass (f32-safe at LN magnitudes)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
     ln = (x - mean) * jax.lax.rsqrt(var + eps)
     ln = ln * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     # matmul operands in the weights' dtype (bf16 serving) for MXU rate;
@@ -160,7 +161,7 @@ def _chunked_kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref,
     def _init():
         x = x_ref[:].astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
         ln = (x - mean) * jax.lax.rsqrt(var + eps)
         ln = ln * scale_ref[0].astype(jnp.float32) \
             + bias_ref[0].astype(jnp.float32)
@@ -248,7 +249,7 @@ def _ffn_post_ln_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, s_ref,
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
     r = o + x.astype(jnp.float32)
     mean = jnp.mean(r, axis=-1, keepdims=True)
-    var = jnp.mean((r - mean) ** 2, axis=-1, keepdims=True)
+    var = jnp.mean(r * r, axis=-1, keepdims=True) - mean * mean
     ln = (r - mean) * jax.lax.rsqrt(var + eps)
     ln = ln * s_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
     o_ref[:] = ln.astype(o_ref.dtype)

@@ -151,7 +151,9 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    # E[x^2] - mu^2: saves the centered-subtraction pass over [M, C]
+    # (f32-safe at LN-input magnitudes; golden tests bound the error)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
     ln = (xf - mu) * jax.lax.rsqrt(var + eps)
     ln = ln * scale_ref[:].astype(jnp.float32) \
         + lnb_ref[:].astype(jnp.float32)
@@ -262,7 +264,8 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         y = o_ref[0, :, 0].reshape(D * wh * Wp, C)
         yf = y.astype(jnp.float32)
         mu2 = jnp.mean(yf, axis=-1, keepdims=True)
-        var2 = jnp.mean(jnp.square(yf - mu2), axis=-1, keepdims=True)
+        var2 = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
+            - jnp.square(mu2)
         ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
         ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
             + n2b_ref[:].astype(jnp.float32)
