@@ -133,6 +133,36 @@ def cmd_convert_ckpt(args):
     print(f"converted {args.pt} -> {args.output}")
 
 
+def cmd_build_vocab(args):
+    """Train a BERT-style WordPiece vocab (lowercase + NFD strip-accents,
+    '##' continuation pieces) from text files — the HF ``tokenizers``
+    WordPiece trainer, i.e. the same algorithm the released bert-base
+    vocabs come from.  Output is a plain vocab.txt consumable by both this
+    repo's tokenizer and ``transformers.BertTokenizer``."""
+    import glob as globmod
+    from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+    from tokenizers.trainers import WordPieceTrainer
+    files = []
+    for pat in args.corpus:
+        files.extend(sorted(globmod.glob(pat, recursive=True)))
+    if not files:
+        raise SystemExit("build-vocab: no corpus files matched")
+    tk = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+    tk.normalizer = normalizers.BertNormalizer(lowercase=True,
+                                               strip_accents=True)
+    tk.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+    trainer = WordPieceTrainer(
+        vocab_size=args.size, continuing_subword_prefix="##",
+        special_tokens=["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"])
+    tk.train(files, trainer)
+    vocab = sorted(tk.get_vocab().items(), key=lambda kv: kv[1])
+    with open(args.output, "w") as f:
+        for tok_str, _ in vocab:
+            f.write(tok_str + "\n")
+    print(f"build-vocab: {len(vocab)} pieces from {len(files)} files "
+          f"-> {args.output}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lavender-tools")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -165,6 +195,13 @@ def main(argv=None):
     p.add_argument("--pt", required=True)
     p.add_argument("--output", required=True)
     p.set_defaults(fn=cmd_convert_ckpt)
+
+    p = sub.add_parser("build-vocab")
+    p.add_argument("--corpus", nargs="+", required=True,
+                   help="glob(s) of text files to train on")
+    p.add_argument("--size", type=int, default=30522)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_build_vocab)
 
     args = ap.parse_args(argv)
     return args.fn(args)

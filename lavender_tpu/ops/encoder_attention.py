@@ -60,10 +60,13 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
             preferred_element_type=jnp.float32)
         s = s + mask
         # no max-subtraction (see swin_block_attn.py: the lane-reduce +
-        # subtract passes dominate); exp(min(s, 80)) is exact softmax for
-        # logits <= 80 and finite above; division deferred past the pv dot
+        # subtract passes dominate).  DOMAIN (test_kernel_numerics.py):
+        # exact softmax when each row's max logit is in (-80, 80] (always,
+        # in trained nets); finite near-one-hot above 80; ~0 instead of
+        # NaN below ~-85 (all-underflowed row, e.g. a fully-masked padded
+        # query row) via the max(l, tiny) guard
         p = jnp.exp(jnp.minimum(s, 80.0))
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

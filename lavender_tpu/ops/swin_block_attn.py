@@ -208,13 +208,17 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                     s = s + mask_w
                 # no max-subtraction (measured 300.3 -> 328.3 clips/s: the
                 # per-row lane-reduce + subtract passes dominate the VPU
-                # chain).  exp(min(s, 80)) IS exact softmax whenever every
-                # logit <= 80 — always true for trained nets (logits
-                # ~O(10); masked entries sit at -100) — and above it
-                # degrades to a finite near-one-hot instead of inf/NaN:
-                # exp(80)*Np < f32 max, so l never overflows.
+                # chain).  DOMAIN (tested in test_kernel_numerics.py):
+                # exp(min(s, 80)) IS exact softmax whenever each row's max
+                # logit is in (-80, 80] — always true for trained nets
+                # (logits ~O(10); masked entries sit at -100 relative to
+                # live ones).  Above 80 it degrades to a finite
+                # near-one-hot (exp(80)*Np < f32 max, l never overflows);
+                # below ~-85 every term underflows and the max(l, tiny)
+                # guard returns ~0 instead of 0/0 = NaN (e.g. a row whose
+                # keys are ALL shift-masked).
                 p = jnp.exp(jnp.minimum(s, 80.0))
-                l = jnp.sum(p, axis=-1, keepdims=True)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
                 o = jax.lax.dot_general(
                     p.astype(dt), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)

@@ -187,3 +187,56 @@ def test_full_retrieval_eval_rerank(tok, tiny, img_data):
     rr_full = er.full_retrieval_eval(model, variables, ds, batch_size=2,
                                      pair_batch=8, rerank_top_k=4)
     assert rr_full == full
+
+
+def test_full_retrieval_eval_pretext(tok, tiny, img_data):
+    """Feat-phase pretext injection (eval_retrieval_mlm.py:33-35): the
+    two-phase eval with a task token must score pairs identically to the
+    in-batch eval path given the same pretext — and differently from the
+    no-pretext path."""
+    import dataclasses
+    from lavender_tpu.tasks import common, eval_retrieval as er, retrieval
+    d, id2lineidx = img_data
+    model, variables = tiny
+    mcfg = dataclasses.replace(model.config, enable_task_token=True)
+    cfg = DataConfig(size_img=64, size_frame=2, size_txt=8)
+    txt = [{"video": f"v{i}", "caption": f"a dog is playing {i}"}
+           for i in range(4)]
+    ds = er.RetrievalEvalDataset(cfg, tok, "test", str(d / "img_fc.tsv"),
+                                 id2lineidx, txt)
+    pre = common.make_pretext_fn(model, mcfg, task_name="vtm")
+    assert pre is not None
+
+    def pair_scores(pretext):
+        feat_fn = er.make_feat_fn(model, pretext=pretext)
+        items = [ds[i] for i in range(4)]
+        img = jnp.asarray(np.stack([it["img"] for it in items]))
+        t = jnp.asarray(np.stack([it["txt"] for it in items]))
+        m = jnp.asarray(np.stack([it["mask"] for it in items]))
+        fi, mi, ft, mt = feat_fn(variables, img, t, m)
+        scan_fn = er.make_cross_scan_fn(
+            model, ds.true_token_id, ds.false_token_id)
+        n = 4
+        t_idx = np.repeat(np.arange(n), n).reshape(n, n)
+        v_idx = np.tile(np.arange(n), n).reshape(n, n)
+        return np.asarray(scan_fn(variables, fi, mi, ft, mt,
+                                  jnp.asarray(t_idx),
+                                  jnp.asarray(v_idx))).reshape(n, n)
+
+    two_phase = pair_scores(pre)  # [text, video]
+    base = pair_scores(None)
+    assert not np.allclose(two_phase, base), \
+        "task token had no effect on eval scores"
+
+    # in-batch path with the same pretext (tasks/retrieval.make_eval_step)
+    items = [ds[i] for i in range(4)]
+    step = retrieval.make_eval_step(model, ds.true_token_id,
+                                    ds.false_token_id, pretext=pre)
+    score, _ = step(variables,
+                    jnp.asarray(np.stack([it["img"][0] for it in items])),
+                    jnp.asarray(np.stack([it["txt"] for it in items])),
+                    jnp.asarray(np.stack([it["mask"] for it in items])),
+                    jnp.arange(4))
+    # step's score is [video, text]; the two-phase matrix is [text, video]
+    np.testing.assert_allclose(two_phase, np.asarray(score).T,
+                               rtol=2e-3, atol=2e-3)

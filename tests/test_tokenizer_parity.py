@@ -89,3 +89,67 @@ def test_special_token_ids(tokenizers):
     assert ours.pad_token_id == hf.pad_token_id
     assert ours.mask_token_id == hf.mask_token_id
     assert ours.unk_token_id == hf.unk_token_id
+
+
+# ---- production-vocab parity (round-2 weak #5) ----
+#
+# assets/vocab_30k.txt is a real 30,522-piece WordPiece vocab trained with
+# the HF `tokenizers` WordPiece trainer (the algorithm behind the released
+# bert-base vocabs; see cli/tools.py build-vocab) — ~8k '##' continuation
+# pieces, so the continuation-merge behavior that synthetic vocabs can't
+# exercise is exercised here on hundreds of caption-style sentences.
+
+_SUBJ = ["a man", "a woman", "two children", "the dog", "a cat",
+         "a group of people", "an old man", "a young girl", "the chef",
+         "several players", "a musician", "the scientist"]
+_VERB = ["is playing", "is cooking", "runs across", "is talking about",
+         "demonstrates", "is riding", "jumps over", "is explaining",
+         "slices", "is singing near", "catches", "is repairing"]
+_OBJ = ["a guitar on stage", "food in the kitchen", "the busy street",
+        "a new smartphone", "the soccer ball", "a bicycle downhill",
+        "the wooden fence", "how engines work", "vegetables quickly",
+        "the microphone stand", "the frisbee midair", "an old car engine"]
+
+
+def _caption_corpus():
+    caps = [f"{s} {v} {o}" for s, v, o in
+            zip(_SUBJ * 12, (_VERB * 12)[1:] + _VERB[:1],
+                (_OBJ * 12)[2:] + _OBJ[:2])]
+    caps += [f"{s} {v} {o}." for s in _SUBJ for v in _VERB[:4]
+             for o in _OBJ[:4]]
+    caps += TRICKY
+    return caps
+
+
+@pytest.fixture(scope="module")
+def prod_tokenizers():
+    import os.path as op
+    path = op.join(op.dirname(__file__), "..", "assets", "vocab_30k.txt")
+    if not op.exists(path):
+        pytest.skip("assets/vocab_30k.txt not present")
+    return BertTokenizer(path), transformers.BertTokenizer(path)
+
+
+def test_prod_vocab_shape(prod_tokenizers):
+    ours, hf = prod_tokenizers
+    assert len(ours) == len(hf) >= 30000
+    n_cont = sum(1 for t in ours.vocab if t.startswith("##"))
+    assert n_cont > 5000, "not a production-shaped vocab"
+
+
+def test_prod_vocab_tokenize_parity(prod_tokenizers):
+    ours, hf = prod_tokenizers
+    caps = _caption_corpus()
+    assert len(caps) > 300
+    for s in caps:
+        assert ours.tokenize(s) == hf.tokenize(s), repr(s)
+
+
+def test_prod_vocab_encode_parity(prod_tokenizers):
+    ours, hf = prod_tokenizers
+    for s in _caption_corpus()[::5]:
+        want = hf.encode(s, padding="max_length", max_length=24,
+                         truncation=True)
+        got = ours.encode(s, padding="max_length", max_length=24,
+                          truncation=True)
+        assert got == want, repr(s)
