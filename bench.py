@@ -42,6 +42,27 @@ def main():
                     help="measure the retrieval-MLM TRAIN step (fwd+bwd+"
                          "AdamW with the B x B pair product) instead of "
                          "inference")
+    ap.add_argument("--remat", action="store_true",
+                    help="(train) rematerialize fusion-encoder layers in "
+                         "backward: recompute instead of storing the B^2 "
+                         "attention probs")
+    ap.add_argument("--remat-swin", action="store_true",
+                    help="(train) also rematerialize Swin blocks")
+    ap.add_argument("--train-batch", type=int, default=8,
+                    help="batch for --train (the B x B pair product grows "
+                         "quadratically; the reference finetunes at 8/GPU)")
+    ap.add_argument("--e2e", action="store_true",
+                    help="end-to-end mode: real TSV bytes -> native JPEG "
+                         "decode -> host->device -> model; reports "
+                         "SUSTAINED clips/s incl. the data plane")
+    ap.add_argument("--e2e-clips", type=int, default=240,
+                    help="corpus size for --e2e (bundled 10-video MSRVTT "
+                         "TSV rows, repeated)")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="decode threads for --e2e")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="(--e2e) measure the host data plane alone, no "
+                         "device calls")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +74,11 @@ def main():
         pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        try:  # XLA:CPU AOT cache entries are machine-specific (SIGILL on
+            # mismatched hosts) — never share the TPU relay cache
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:
+            pass
         if args.attn in ("pallas", "fused"):
             # Mosaic kernels only lower on TPU; the CPU path is a
             # correctness smoke, so silently use the XLA oracle instead
@@ -76,6 +102,12 @@ def main():
         bert = BertConfig()
     swin = dataclasses.replace(swin, attn_impl=args.attn,
                                scan_blocks=not args.no_scan)
+    if args.train:
+        args.batch = args.train_batch
+        if args.remat:
+            bert = dataclasses.replace(bert, remat=True)
+        if args.remat_swin:
+            swin = dataclasses.replace(swin, remat=True)
     if args.attn == "fused":
         bert = dataclasses.replace(bert, fused_ffn=True, fused_attn=True)
     if args.fused_bert_attn:
@@ -148,6 +180,112 @@ def main():
         print(json.dumps({
             "metric": "clips/sec/chip retrieval-MLM TRAIN step "
                       "(BxB pairs, fwd+bwd+AdamW, bf16)",
+            "value": round(clips_per_sec, 2),
+            "unit": "clips/sec",
+            "vs_baseline": round(clips_per_sec / (5000.0 / 8.0), 3),
+        }))
+        return
+
+    if args.e2e:
+        # END-TO-END: TSV bytes -> (native) decode+resize threads ->
+        # host->device upload -> flagship forward.  One async dispatch per
+        # batch (no per-batch fetch: the relay RTT would serialize);
+        # sustained = total clips / wall time after a one-batch warmup.
+        # Reference hot loop 4 (SURVEY §3: DataLoader workers feeding the
+        # GPU) — here the native loader (native/loader.cpp) + a thread
+        # pool feed the chip.
+        import os.path as op
+        from lavender_tpu.config import DataConfig
+        from lavender_tpu.data.dataset import TsvTaskDataset
+        from lavender_tpu.data.loader import DataLoader
+        from lavender_tpu.data.tsv import TSVFile, tsv_writer
+
+        src = "/root/reference/_tools/msrvtt.tsv"
+        work = "/tmp/lvt_e2e.tsv"
+        tsv0 = TSVFile(src, generate_lineidx=False)
+        with open(op.splitext(src)[0] + ".lineidx") as f:
+            offs = [int(l) for l in f if l.strip()]
+        rows = [tsv0.seek(i) for i in range(len(offs))]
+        reps = (args.e2e_clips + len(rows) - 1) // len(rows)
+        big = []
+        for r in range(reps):
+            for row in rows:
+                big.append([f"{row[0]}_r{r}"] + row[1:])
+        tsv_writer(big[: args.e2e_clips], work)
+        with open(op.splitext(work)[0] + ".lineidx") as f:
+            boffs = [int(l) for l in f if l.strip()]
+        id2lineidx = {row[0]: o for row, o in zip(big, boffs)}
+        txt_entries = [{"video": k, "caption": "a video clip"}
+                       for k in id2lineidx]
+
+        class _Tok:
+            cls_token_id, sep_token_id, pad_token_id = 101, 102, 0
+            mask_token_id, unk_token_id = 103, 100
+
+            def encode(self, s, **kw):
+                L = kw.get("max_length", 25)
+                return [101] + [2000] * (L - 2) + [102]
+
+            def convert_tokens_to_ids(self, toks):
+                return [2000] * len(toks)
+
+            def tokenize(self, s):
+                return s.split()
+
+        class _ClipDS(TsvTaskDataset):
+            def __getitem__(self, i):
+                return {"img": self.pad_frames(
+                    self.get_video(self.txt[i]["video"]))}
+
+        dcfg = DataConfig(size_img=S, size_frame=T, size_txt=args.size_txt)
+        ds = _ClipDS(dcfg, _Tok(), "test", work, id2lineidx, txt_entries)
+        assert ds._native is not None, \
+            "--e2e needs the native loader (build native/liblvt.so)"
+        dl = DataLoader(ds, args.batch, shuffle=False,
+                        num_workers=args.workers, drop_last=True)
+
+        @jax.jit
+        def fwd(variables, img_u8, txt, mask):
+            img = device_normalize(img_u8, dtype=jnp.bfloat16)
+            return model.apply(variables, img, txt, mask
+                               ).astype(jnp.float32).mean()
+
+        if args.decode_only:
+            # host data plane alone: TSV -> native decode threads -> numpy
+            # batches (no device).  Separates "can the host feed the chip"
+            # from the relay's host->device transport cap.
+            n_clips = 0
+            t0 = time.perf_counter()
+            for batch in dl:
+                n_clips += batch["img"].shape[0]
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "metric": "clips/sec host data plane (TSV -> native "
+                          f"decode, {args.workers} threads)",
+                "value": round(n_clips / dt, 2),
+                "unit": "clips/sec",
+                "vs_baseline": round((n_clips / dt) / (5000.0 / 8.0), 3),
+            }))
+            return
+
+        # compile + warm with one loader batch
+        first = next(iter(dl))
+        float(fwd(variables, jnp.asarray(first["img"]), txt, mask))
+
+        n_clips = 0
+        t0 = time.perf_counter()
+        last = None
+        for batch in dl:
+            if batch["img"].shape[0] != B:
+                continue
+            last = fwd(variables, jnp.asarray(batch["img"]), txt, mask)
+            n_clips += B
+        assert np.isfinite(float(last))  # drains the dispatch queue
+        dt = time.perf_counter() - t0
+        clips_per_sec = n_clips / dt
+        print(json.dumps({
+            "metric": "clips/sec end-to-end (TSV -> native decode -> "
+                      "device -> Swin-B+BERT fusion, bf16)",
             "value": round(clips_per_sec, 2),
             "unit": "clips/sec",
             "vs_baseline": round(clips_per_sec / (5000.0 / 8.0), 3),

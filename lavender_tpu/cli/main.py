@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os.path as op
+import zlib
 from datetime import datetime
 from typing import Callable, Dict
 
@@ -86,11 +87,23 @@ def _pretext(cfg: RunConfig, model, ds, task_name: str):
                                   prompt=prompt)
 
 
+def _train_batch(cfg: RunConfig) -> int:
+    """Per-process train loader batch: ``size_batch`` is per-DEVICE (the
+    reference's per-GPU semantics, README.md:91) scaled by this process's
+    share of the mesh's data axis."""
+    from lavender_tpu.parallel import mesh as pmesh
+    mesh = pmesh.global_mesh()
+    if mesh is None:
+        return cfg.train.size_batch
+    return cfg.train.size_batch * pmesh.local_data_extent(mesh)
+
+
 def _loaders(cfg: RunConfig, datasets):
     world = jax.process_count()
     rank = jax.process_index()
     mk = lambda ds, sh: DataLoader(
-        ds, cfg.train.size_batch, shuffle=sh, num_workers=cfg.data.n_workers,
+        ds, _train_batch(cfg) if sh else cfg.train.size_batch, shuffle=sh,
+        num_workers=cfg.data.n_workers,
         seed=cfg.train.seed, rank=rank, world=world, drop_last=sh)
     return (mk(datasets["train"], True), mk(datasets["val"], False),
             mk(datasets["test"], False) if "test" in datasets else None)
@@ -106,10 +119,12 @@ def run_retrieval_mlm(cfg: RunConfig, tok):
                                     txt_len=_sample_txt_len(datasets))
     ds = datasets["val"]
     pre = _pretext(cfg, model, ds, "vtm")
+    from lavender_tpu.parallel import mesh as pmesh
     agent = Agent(
         cfg, model, variables,
         loss_fn=retrieval.make_loss_fn(model, ds.true_token_id,
-                                       ds.false_token_id, pretext=pre),
+                                       ds.false_token_id, pretext=pre,
+                                       group=pmesh.global_dp()),
         eval_step=_wrap_eval(retrieval.make_eval_step(
             model, ds.true_token_id, ds.false_token_id, pretext=pre),
             ["img", "txt", "mask", "vid"]))
@@ -293,11 +308,12 @@ def run_caption(cfg: RunConfig, tok):
         from lavender_tpu.parallel.mesh import all_gather_obj, is_main_process
         from lavender_tpu.utils.metrics import coco_caption_metrics
         cands, confs = {}, {}
+        eval_p = agent.eval_params()
         prompt_ids = (jnp.asarray(cap_prompt[0], jnp.int32)
                       if cap_prompt is not None else None)
         for batch in dl:
             img = agent.batch_to_device(batch)["img"]
-            ids, logp = generate({"params": agent.state.params}, img,
+            ids, logp = generate({"params": eval_p}, img,
                                  jax.random.PRNGKey(0),
                                  prompt_txt=prompt_ids)
             for key, row, lp_ in zip(batch["vid"], np.asarray(ids),
@@ -393,7 +409,7 @@ def run_pretrain_mlm(cfg: RunConfig, tok):
             ds = pt.PretrainDataset(
                 cfg.data, tok, "train", tsv_path,
                 txt_data.get("train", txt_data), dataset_name=ds_name)
-            dl = DataLoader(ds, cfg.train.size_batch, shuffle=True,
+            dl = DataLoader(ds, _train_batch(cfg), shuffle=True,
                             num_workers=cfg.data.n_workers, drop_last=True,
                             seed=cfg.train.seed + e, rank=rank, world=world)
             ls = agent.train_epoch(e + 1, dl)
@@ -414,11 +430,16 @@ def _run_eval_retrieval(cfg: RunConfig, tok, head: str):
         kw = {"model_cls": LavenderTS, "head_out": 1}
     model, variables = _build_model(
         cfg, tok, txt_len=_sample_txt_len(datasets), **kw)
+    # feat-phase pretext injection (eval_retrieval_mlm.py:33-35): without
+    # it a task-token/prompt-finetuned checkpoint evaluates wrong
+    any_split = next(s for s in ("val", "test") if s in datasets)
+    pre = _pretext(cfg, model, datasets[any_split], "vtm")
     results = {}
     for split in [s for s in ("val", "test") if s in datasets]:
         res = er.full_retrieval_eval(
             model, variables, datasets[split],
-            batch_size=cfg.train.size_batch, head=head)
+            batch_size=cfg.train.size_batch, head=head, pretext=pre,
+            rerank_top_k=int(cfg.extra.get("rerank_top_k", 0)))
         results[split] = res
         LOGGER.info(f"{split}: {res}")
     if cfg.path_ckpt:
@@ -470,15 +491,17 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
     true_id = tok.convert_tokens_to_ids(["true"])[0]
     false_id = tok.convert_tokens_to_ids(["false"])[0]
 
+    from lavender_tpu.parallel import mesh as pmesh
     pretexts = {
         kind: task_common.make_pretext_fn(model, cfg.model, task_name=tt)
         for kind, tt in _KIND2TASKTOK.items()}
     losses = multi_task.build_multi_task_losses(
         model, true_id, false_id, label_smoothing=cfg.train.label_smoothing,
-        pretexts=pretexts)
+        pretexts=pretexts, group=pmesh.global_dp())
     agent = Agent(cfg, model, variables,
                   loss_fn=losses["retrieval"])  # state/opt shared
-    steps = multi_task.make_multi_task_train_steps(losses, agent.tx)
+    steps = multi_task.make_multi_task_train_steps(losses, agent.tx,
+                                                   mesh=agent.mesh)
     ans_tok_ids = tok.convert_tokens_to_ids(
         [f"{i}" for i in range(cfg.data.size_option)])
     evals = multi_task.build_multi_task_evals(
@@ -510,7 +533,8 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
         dss = load_task_data(dcfg, ds_cls[kind], tok, **kw)
         name = f'{kind}-{ent["dataset"]}'
         mk = lambda ds, sh: DataLoader(
-            ds, cfg.train.size_batch, shuffle=sh,
+            ds, _train_batch(cfg) if sh else cfg.train.size_batch,
+            shuffle=sh,
             num_workers=cfg.data.n_workers, drop_last=sh,
             seed=cfg.train.seed, rank=rank, world=world)
         loaders[name] = mk(dss["train"], True)
@@ -531,18 +555,18 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
                  kind == "retrieval"}
         if kind == "retrieval":
             batch["vid"] = np.asarray(
-                [hash(v) % (2 ** 31) if isinstance(v, str) else v
-                 for v in batch["vid"]], np.int32)
+                [_stable_vid(v) for v in batch["vid"]], np.int32)
         return batch
 
     def evaluate_task(name, dl):
         """Per-task eval -> metric dict (Agent_Multi_Task.evaluate)."""
         kind = kinds[name]
+        eval_p = agent.eval_params()
         if kind == "captioning":
             cands, refs = {}, {}
             for batch in dl:
                 img = agent.batch_to_device(batch)["img"]
-                ids, _ = generate({"params": agent.state.params}, img,
+                ids, _ = generate({"params": eval_p}, img,
                                   jax.random.PRNGKey(0))
                 for key, row in zip(batch["vid"], np.asarray(ids)):
                     cands[str(key)] = tok.decode(row.tolist())
@@ -559,7 +583,7 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
         for batch in dl:
             batch = _prep_batch(kind, batch)
             db = agent.batch_to_device(batch)
-            out = step_fn({"params": agent.state.params},
+            out = step_fn({"params": eval_p},
                           *[db[k] for k in eval_keys[kind]])
             ac = out[0] if kind == "qaoe" else out[-1]
             accs.extend(np.asarray(ac, np.float64).ravel().tolist())
@@ -589,6 +613,8 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
         kind = kinds[name]
         batch = _prep_batch(kind, batch)
         db = agent.batch_to_device(batch)
+        if agent.mesh is not None:
+            db = pmesh.shard_batch(db, agent.mesh)
         agent.state, loss = steps[kind](agent.state, db)
         if step_i % 20 == 0:
             agent.logger.info(f"step {step_i} [{name}] loss {float(loss):.4f}")
@@ -642,12 +668,14 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderMultiHead,
         txt_len=cfg.data.size_txt, head_out=1, heads=heads)
+    from lavender_tpu.parallel import mesh as pmesh
     losses = ts.make_multi_head_losses(
         model, cfg.train.temp, kinds,
-        label_smoothing=cfg.train.label_smoothing)
+        label_smoothing=cfg.train.label_smoothing,
+        group=pmesh.global_dp())
     agent = Agent(cfg, model, variables, loss_fn=losses[names[0]])
     from lavender_tpu.tasks.multi_task import make_multi_task_train_steps
-    steps = make_multi_task_train_steps(losses, agent.tx)
+    steps = make_multi_task_train_steps(losses, agent.tx, mesh=agent.mesh)
     generate = cap.make_generate_fn(
         model, tok.cls_token_id, tok.sep_token_id, tok.pad_token_id,
         tok.mask_token_id)
@@ -662,7 +690,8 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
         dcfg = dc.replace(cfg.data, dataset=ent["dataset"], task=ent["task"])
         dss = load_task_data(dcfg, ds_cls[ent["type"]], tok, mlm=False)
         mk = lambda ds, sh: DataLoader(
-            ds, cfg.train.size_batch, shuffle=sh,
+            ds, _train_batch(cfg) if sh else cfg.train.size_batch,
+            shuffle=sh,
             num_workers=cfg.data.n_workers, drop_last=sh,
             seed=cfg.train.seed, rank=rank, world=world)
         loaders[name] = mk(dss["train"], True)
@@ -689,18 +718,18 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
                  if k != "vid" or kind == "retrieval"}
         if kind == "retrieval":
             batch["vid"] = np.asarray(
-                [hash(v) % (2 ** 31) if isinstance(v, str) else v
-                 for v in batch["vid"]], np.int32)
+                [_stable_vid(v) for v in batch["vid"]], np.int32)
         return batch
 
     def eval_all(ep):
+        eval_p = agent.eval_params()
         for name, dl in val_loaders.items():
             kind = kinds[name]
             if kind == "captioning":
                 cands, refs = {}, {}
                 for batch in dl:
                     img = agent.batch_to_device(batch)["img"]
-                    ids, _ = generate({"params": agent.state.params}, img,
+                    ids, _ = generate({"params": eval_p}, img,
                                       jax.random.PRNGKey(0))
                     for key, row in zip(batch["vid"], np.asarray(ids)):
                         cands[str(key)] = tok.decode(row.tolist())
@@ -716,7 +745,7 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
                 accs = []
                 for batch in dl:
                     db = agent.batch_to_device(_prep(kind, batch))
-                    out = evals[name]({"params": agent.state.params}, db)
+                    out = evals[name]({"params": eval_p}, db)
                     ac = out[-1] if isinstance(out, tuple) else out
                     accs.extend(np.asarray(ac, np.float64).ravel().tolist())
                 res = {"ac": float(np.mean(accs)) if accs else 0.0}
@@ -733,6 +762,8 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
         if step_i >= max_steps:
             break
         db = agent.batch_to_device(_prep(kinds[name], batch))
+        if agent.mesh is not None:
+            db = pmesh.shard_batch(db, agent.mesh)
         agent.state, loss = steps[name](agent.state, db)
         if step_i % 20 == 0:
             agent.logger.info(f"step {step_i} [{name}] loss {float(loss):.4f}")
@@ -758,9 +789,11 @@ def run_retrieval_ts(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderTS,
         txt_len=_sample_txt_len(datasets), head_out=1)
+    from lavender_tpu.parallel import mesh as pmesh
     agent = Agent(
         cfg, model, variables,
-        loss_fn=ts.make_retrieval_ts_loss(model, cfg.train.temp),
+        loss_fn=ts.make_retrieval_ts_loss(model, cfg.train.temp,
+                                          group=pmesh.global_dp()),
         eval_step=_wrap_eval(ts.make_retrieval_ts_eval(model),
                              ["img", "txt", "mask", "vid"]))
     return run_finetune(agent, dl_tr, dl_vl, dl_ts, cfg.train.size_epoch,
@@ -861,7 +894,7 @@ def run_pretrain_ts(cfg: RunConfig, tok):
                 cfg.data, tok, "train", tsv_path,
                 txt_data.get("train", txt_data), dataset_name=ds_name,
                 mlm=False)
-            dl = DataLoader(ds, cfg.train.size_batch, shuffle=True,
+            dl = DataLoader(ds, _train_batch(cfg), shuffle=True,
                             num_workers=cfg.data.n_workers, drop_last=True,
                             seed=cfg.train.seed + e, rank=rank, world=world)
             ls = agent.train_epoch(e + 1, dl)
@@ -869,6 +902,16 @@ def run_pretrain_ts(cfg: RunConfig, tok):
             agent.save_model(e + 1)
             agent.logger.info(f"Ep {e + 1} part {part}: loss {ls:.4f}")
     return dict(agent.log)
+
+
+def _stable_vid(v) -> int:
+    """Process/host-stable int id for a video key.  ``hash(str)`` is salted
+    per process (PYTHONHASHSEED), so it is only valid within one process;
+    crc32 keeps vid identity stable for any future cross-host pair
+    construction (round-2 weak #6)."""
+    if isinstance(v, str):
+        return zlib.crc32(v.encode("utf-8")) % (2 ** 31)
+    return int(v)
 
 
 def _wrap_eval(step, keys):
@@ -897,6 +940,8 @@ def main(argv=None):
     cfg.extra["config_path"] = args.config
     if "size_test" in _raw:
         cfg.extra["size_test"] = _raw["size_test"]
+    if "rerank_top_k" in _raw:
+        cfg.extra["rerank_top_k"] = _raw["rerank_top_k"]
     if args.path_ckpt:
         cfg.path_ckpt = args.path_ckpt
     if args.path_output:
@@ -907,8 +952,25 @@ def main(argv=None):
         cfg.path_output, cfg.data.task or args.task,
         datetime.now().strftime("%Y%m%d%H%M%S"))
 
+    # distribution: process-group init + run-wide device mesh.  The
+    # reference runs EVERY main under DDP (utils/dist.py:20-75,
+    # agent.py:252-265); here the equivalent is jax.distributed + one
+    # (data, model) mesh that every Agent picks up (round-2 missing #1).
+    from lavender_tpu.parallel import mesh as pmesh
+    pmesh.distributed_init()
+    mesh = pmesh.maybe_make_mesh(tp=cfg.tp)
+    pmesh.set_global_mesh(mesh)
+    if mesh is not None:
+        LOGGER.info(
+            f"mesh: {jax.device_count()} devices "
+            f"(dp={mesh.shape['data']}, tp={mesh.shape['model']}, "
+            f"{jax.process_count()} processes)")
+
     tok = BertTokenizer(cfg.data.vocab_path)
-    return TASKS[args.task](cfg, tok)
+    try:
+        return TASKS[args.task](cfg, tok)
+    finally:
+        pmesh.set_global_mesh(None)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,11 @@ class BertConfig:
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     pad_token_id: int = 0
+    # rematerialize each fusion-encoder layer in backward (training): the
+    # B x B pair pass stores ~[B^2, nH, L, L] attention probs per layer
+    # without it — on HBM-bound chips recompute is cheaper than the traffic
+    # (the reference's fairscale checkpoint_wrapper analog, model.py:167-169)
+    remat: bool = False
     # serving: fuse fc1+gelu+fc2+residual+post-LN into one Pallas kernel
     # (bf16 deterministic forward only; training uses the module path)
     fused_ffn: bool = False
@@ -176,6 +181,11 @@ class RunConfig:
     path_output: str = "./_snapshot"
     vis_backbone_size: str = "base"
     multi_clip_testing: bool = False
+    # tensor-parallel (model-axis) size; data axis = n_devices // tp.
+    # The reference is DP-only (DDP, utils/dist.py); tp > 1 additionally
+    # Megatron-shards the fusion encoder / Swin channel dims
+    # (parallel/mesh.py _PARAM_RULES) for the Swin-Large-384 config.
+    tp: int = 1
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -288,5 +298,6 @@ def load_run_config(path_or_dict) -> RunConfig:
         path_output=raw.get("path_output", "./_snapshot"),
         vis_backbone_size=size,
         multi_clip_testing=bool(raw.get("multi_clip_testing", False)),
+        tp=int(raw.get("tp", 1)),
     )
     return cfg

@@ -145,9 +145,14 @@ class TsvTaskDataset(VideoTextDataset):
         self.txt = list(txt)
         self._tsv = TSVFile(img_tsv_path, generate_lineidx=False)
         self._native = None
-        if os.environ.get("LAVENDER_NATIVE", "") == "1":
-            # C++ fast path (native/loader.cpp): mmap seek + libjpeg decode
-            # + PIL-parity resize, ~4x faster per core than the Python path
+        # C++ fast path (native/loader.cpp): mmap seek + libjpeg decode +
+        # PIL-parity resize, ~4x faster per core than the Python path.
+        # DEFAULT ON when liblvt builds/loads (round-2 missing #5);
+        # LAVENDER_NATIVE=0 is the escape hatch.  pad_resize has no native
+        # implementation, so those configs keep the Python path.
+        native_ok = (os.environ.get("LAVENDER_NATIVE", "1") != "0"
+                     and "pad_resize" not in tuple(cfg.img_transform))
+        if native_ok:
             try:
                 from lavender_tpu.data.native import NativeTSV
                 self._native = NativeTSV(img_tsv_path)
@@ -180,12 +185,17 @@ class TsvTaskDataset(VideoTextDataset):
             n_frames = self._native.num_fields(offset) - 2
             if n_frames > 0:
                 train = self.split == "train"
+                # crop mode mirrors the Python dispatch
+                # (transforms.transform_clip / dataset.py:218-256): random
+                # crop only for the *_rand_crop transforms in train
+                rand = train and any(
+                    "rand_crop" in t for t in tuple(self.cfg.img_transform))
                 idxs = TF.temporal_sample_indices(
                     n_frames, self.size_frame, train, self.rng)
                 return self._native.decode_clip(
                     offset, [2 + i for i in idxs], self.cfg.size_img,
-                    random_crop=train,
-                    seed=self.rng.randrange(2 ** 31) if train else 0)
+                    random_crop=rand,
+                    seed=self.rng.randrange(2 ** 31) if rand else 0)
         row = self._tsv.seek_offset(offset)
         return self.frames_from_b64(row[2:])
 

@@ -154,11 +154,17 @@ class DataLoader:
     def __len__(self):
         n = len(self.sampler.indices())
         if self.drop_last:
-            return n // self.batch_size
+            # a corpus smaller than one batch still yields ONE wrapped
+            # batch (torch DistributedSampler pads indices to even) so
+            # tiny datasets never train zero steps under a large mesh
+            return max(1, n // self.batch_size) if n else 0
         return int(math.ceil(n / self.batch_size))
 
     def _batches(self) -> List[List[int]]:
         idx = self.sampler.indices()
+        if self.drop_last and idx and len(idx) < self.batch_size:
+            reps = int(math.ceil(self.batch_size / len(idx)))
+            idx = (idx * reps)[: self.batch_size]
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:

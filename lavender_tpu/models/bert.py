@@ -264,6 +264,17 @@ class BertEncoder(nn.Module):
 
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
+        if self.config.remat and not deterministic:
+            # recompute each layer in backward instead of storing its
+            # [B, nH, L, L] attention probs + intermediates — the B x B
+            # retrieval pass makes that traffic the train bottleneck
+            def run(mdl, h, bias):
+                return mdl(h, bias, False)
+
+            run = nn.remat(run)
+            for layer in self.layers:
+                x = run(layer, x, attn_bias)
+            return x
         for layer in self.layers:
             x = layer(x, attn_bias, deterministic)
         return x

@@ -182,6 +182,27 @@ def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
                      jnp.zeros((), x.dtype))
 
 
+def drop_path_lerp(x: Array, full: Array, rate, deterministic: bool,
+                   rng) -> Array:
+    """Stochastic depth applied to a RESIDUAL-FOLDED output:
+    ``full = x + f(x)`` -> ``x + coef * (full - x)`` with the same
+    per-sample ``coef = bernoulli(keep)/keep`` as :func:`drop_path`.
+
+    Mathematically identical to ``x + drop_path(f(x))``, but lets training
+    run the fused kernels (whose custom_vjp computes the whole
+    ``x + f(x)`` block) instead of falling back to the XLA module math —
+    the round-2 perf gap where drop_path 0.1 forced every finetune off the
+    kernels (PERF.md 'stochastic-depth-as-lerp')."""
+    if deterministic or (isinstance(rate, float) and rate == 0.0):
+        return full
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    coef = jnp.where(mask, 1.0 / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype))
+    return x + coef * (full - x)
+
+
 class Mlp(nn.Module):
     hidden_features: int
     out_features: int
@@ -373,6 +394,10 @@ class SwinBlock3D(nn.Module):
             rate = dp_rate if dp_rate is not None else self.drop_path_rate
             use_dp = not deterministic and (
                 dp_rate is not None or self.drop_path_rate > 0.0)
+            if use_dp:
+                # same draw+split pattern as the XLA module path below, so
+                # fused vs xla training are bit-identical given one seed
+                rng1, rng2 = jax.random.split(self.make_rng("dropout"))
             from lavender_tpu.ops.swin_block_attn import (
                 fused_swin_block_full, full_block_fits_vmem)
             wwp = _round8(window_size[2])
@@ -391,18 +416,16 @@ class SwinBlock3D(nn.Module):
                     x, *args, window_size, shift_size, self.num_heads,
                     scale, self.layer_norm_eps)
             else:
-                # training-with-drop-path: reference math on the same
-                # params (handles the padded bias internally)
-                from lavender_tpu.ops.swin_block_attn import _ref_with_mask
-                full = _ref_with_mask(
+                # training-with-drop-path THROUGH the fused kernel: the
+                # kernel's custom_vjp computes full = x + attn(x); the
+                # per-sample stochastic-depth coefficient is applied as a
+                # lerp x + c*(full - x) — identical math to
+                # x + drop_path(attn_out) on the XLA path (gradient-parity
+                # test: test_swin_block_fused.py)
+                full = fused_swin_block_attn(
                     x, *args, window_size, shift_size, self.num_heads,
                     scale, self.layer_norm_eps)
-                attn_out = full - x
-                if use_dp:
-                    rng1 = self.make_rng("dropout")
-                    x = x + drop_path(attn_out, rate, deterministic, rng1)
-                else:
-                    x = full
+                x = drop_path_lerp(x, full, rate, deterministic, rng1)
 
             from lavender_tpu.ops.fused_mlp import (
                 fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
@@ -415,7 +438,6 @@ class SwinBlock3D(nn.Module):
                     out = ln_mlp_reference(flat, n2_scale, n2_bias, k1, b1,
                                            k2, b2, self.layer_norm_eps)
                 mlp_out = out.astype(self.dtype).reshape(x.shape)
-                rng2 = self.make_rng("dropout")
                 return x + drop_path(mlp_out, rate, deterministic, rng2)
             # inference: residual folded into the kernel (zero extra HBM)
             if weights_fit_vmem(C, hidden_f):

@@ -98,8 +98,60 @@ def batch_pspec() -> P:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a (process-local) batch on the mesh's data axis.
+
+    Single process: plain ``device_put``.  Multi-process: each process
+    holds its rank's slice of the global batch (the rank-aware DataLoader
+    split), assembled into one global array with
+    ``jax.make_array_from_process_local_data`` — the pjit-native
+    equivalent of DDP's per-rank batches (agent.py:252-265)."""
     sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
+
+
+def local_data_extent(mesh: Mesh) -> int:
+    """Number of data-axis rows whose shards live on THIS process — the
+    factor by which the per-device batch scales to a per-process loader
+    batch."""
+    n_local = sum(1 for d in mesh.devices.flat
+                  if d.process_index == jax.process_index())
+    tp = mesh.shape[MODEL_AXIS]
+    return max(1, n_local // tp)
+
+
+def maybe_make_mesh(tp: int = 1) -> Optional[Mesh]:
+    """The CLI's mesh policy: a (data, model) mesh over all devices when
+    there is anything to shard over, else None (single-device fast path —
+    no with_sharding_constraint noise in the compiled program)."""
+    if jax.device_count() == 1 and tp <= 1:
+        return None
+    return make_mesh(tp=tp)
+
+
+# The run-wide mesh the CLI installs at startup (cli/main.py) so every
+# Agent it constructs trains distributed without threading a mesh kwarg
+# through all 17 task runners — the moral equivalent of the reference's
+# global torch.distributed process group (utils/dist.py:20).
+_GLOBAL_MESH: Optional[Mesh] = None
+
+
+def set_global_mesh(mesh: Optional[Mesh]) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = mesh
+
+
+def global_mesh() -> Optional[Mesh]:
+    return _GLOBAL_MESH
+
+
+def global_dp() -> int:
+    """Data-axis extent of the installed mesh (1 when none) — the group
+    count for per-shard in-batch negative pools."""
+    return _GLOBAL_MESH.shape[DATA_AXIS] if _GLOBAL_MESH is not None else 1
 
 
 # ---- multi-host helpers (utils/dist.py equivalents) ----

@@ -19,15 +19,17 @@ from lavender_tpu.tasks import qamc, qaoe, retmc, retrieval
 
 def build_multi_task_losses(model: LavenderModel, true_id: int,
                             false_id: int, label_smoothing: float = 0.1,
-                            pretexts: Dict[str, Callable] = None
-                            ) -> Dict[str, Callable]:
+                            pretexts: Dict[str, Callable] = None,
+                            group: int = 1) -> Dict[str, Callable]:
     """Loss-fn table keyed by task kind (LAVENDER_Multi_Task.forward
     dispatch, main_multi_task_mlm.py:82-103).  ``pretexts`` maps kind ->
-    pretext producer (add_prompt_or_task_token, :254-275)."""
+    pretext producer (add_prompt_or_task_token, :254-275); ``group`` =
+    dp extent for per-shard retrieval negatives."""
     p = pretexts or {}
     return {
         "retrieval": retrieval.make_loss_fn(model, true_id, false_id,
-                                            pretext=p.get("retrieval")),
+                                            pretext=p.get("retrieval"),
+                                            group=group),
         "qamc": qamc.make_loss_fn(model, pretext=p.get("qamc")),
         "qaoe": qaoe.make_loss_fn(model, pretext=p.get("qaoe")),
         "retmc": retmc.make_loss_fn(model, pretext=p.get("retmc")),

@@ -77,23 +77,44 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
                         feat_pre: Optional[Array] = None,
                         mask_pre: Optional[Array] = None,
                         deterministic: bool = True,
-                        rngs: Optional[Dict] = None) -> Tuple[Array, int]:
-    """All B x B (video_i, text_j) pairs -> MLM logits on the text slice.
+                        rngs: Optional[Dict] = None,
+                        group: int = 1) -> Tuple[Array, int]:
+    """All b x b (video_i, text_j) pairs within each of ``group`` batch
+    groups -> MLM logits on the text slice.
 
-    Returns (logits [B*B, Lp+Lt, V], pretxt_len).  Pair (i, j) lives at
-    row i*B + j, matching the reference loop order
-    (main_retrieval_mlm.py:62-79).
+    group=1 (default) is the full B x B product.  Under a data-parallel
+    mesh the CLI passes group = dp so each data shard builds its LOCAL
+    b x b product — exactly the reference's DDP semantics, where every GPU
+    pairs only its own sub-batch (main_retrieval_mlm.py:62-79 runs per
+    rank).  The grouped repeat/tile keeps shard boundaries aligned, so
+    XLA compiles it with zero cross-device traffic.
+
+    Returns (logits [B*b, Lp+Lt, V], pretxt_len) with b = B // group;
+    pair (g, i, j) lives at row (g*b + i)*b + j, matching the reference
+    loop order per rank.
     """
     B = img.shape[0]
+    assert B % group == 0, (B, group)
+    b = B // group
     fi, mi, ft, mt = model.apply(
         variables, img, txt, mask, deterministic=deterministic,
         method=LavenderModel.go_feat, rngs=rngs)
     ft, mt, lp = common.prepend_pretxt(ft, mt, feat_pre, mask_pre)
     Lv = fi.shape[1]
-    pfi = jnp.repeat(fi, B, axis=0)
-    pmi = jnp.repeat(mi, B, axis=0)
-    pft = jnp.tile(ft, (B, 1, 1))
-    pmt = jnp.tile(mt, (B, 1))
+
+    def grouped_pairs(x, repeat_video: bool):
+        g = x.reshape((group, b) + x.shape[1:])
+        if repeat_video:
+            g = jnp.repeat(g, b, axis=1)
+        else:
+            reps = (1, b) + (1,) * (x.ndim - 1)
+            g = jnp.tile(g, reps)
+        return g.reshape((B * b,) + x.shape[1:])
+
+    pfi = grouped_pairs(fi, True)
+    pmi = grouped_pairs(mi, True)
+    pft = grouped_pairs(ft, False)
+    pmt = grouped_pairs(mt, False)
     out = model.apply(
         variables, pfi, pmi, pft, pmt, deterministic=deterministic,
         method=LavenderModel.go_cross, rngs=rngs)
@@ -127,21 +148,25 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
 
 
 def make_loss_fn(model: LavenderModel, true_id: int, false_id: int,
-                 pretext=None):
+                 pretext=None, group: int = 1):
     """Training loss (Agent_Retrieval_MLM.step train branch): CE at the
-    appended [MASK] against true/false."""
+    appended [MASK] against true/false.  ``group`` = number of independent
+    in-batch negative pools (the CLI passes the mesh's dp extent so each
+    data shard pairs locally, = per-GPU DDP negatives)."""
 
     def loss_fn(params, batch, dropout_rng):
         img, txt, mask, vid = (batch["img"], batch["txt"], batch["mask"],
                                batch["vid"])
         B = img.shape[0]
+        b = B // group
         rngs = {"dropout": dropout_rng}
         fp, mp = common.apply_pretext(pretext, {"params": params}, B,
                                       deterministic=False, rngs=rngs)
         logits, _ = pairwise_mlm_logits(
             model, {"params": params}, img, txt, mask, feat_pre=fp,
-            mask_pre=mp, deterministic=False, rngs=rngs)
-        same = vid[:, None] == vid[None, :]
+            mask_pre=mp, deterministic=False, rngs=rngs, group=group)
+        gv = vid.reshape(group, b)
+        same = gv[:, :, None] == gv[:, None, :]  # [G, b, b]
         labels = jnp.where(same, true_id, false_id).reshape(-1)
         last = logits[:, -1, :]
         return common.cross_entropy_ignore(last, labels)

@@ -95,35 +95,58 @@ class LavenderMultiHead(LavenderTS):
 
 
 def retrieval_ts_scores(model: LavenderTS, variables, img, txt, mask,
-                        temp: float = 1.0, deterministic=True, rngs=None):
-    """B x B scalar match matrix (LAVENDER_Retrieval_TS.forward:77-104)."""
+                        temp: float = 1.0, deterministic=True, rngs=None,
+                        group: int = 1):
+    """b x b scalar match matrix per batch group
+    (LAVENDER_Retrieval_TS.forward:77-104).  group > 1 pairs within each
+    of ``group`` sub-batches (per-data-shard DDP negatives, see
+    tasks/retrieval.pairwise_mlm_logits); returns [group, b, b] then, or
+    [B, B] for group=1."""
     B = img.shape[0]
+    assert B % group == 0, (B, group)
+    b = B // group
     fi, mi, ft, mt = model.apply(
         variables, img, txt, mask, deterministic=deterministic,
         method=LavenderModel.go_feat, rngs=rngs)
     Lv = fi.shape[1]
-    pfi = jnp.repeat(fi, B, axis=0)
-    pmi = jnp.repeat(mi, B, axis=0)
-    pft = jnp.tile(ft, (B, 1, 1))
-    pmt = jnp.tile(mt, (B, 1))
+
+    def grouped_pairs(x, repeat_video: bool):
+        g = x.reshape((group, b) + x.shape[1:])
+        if repeat_video:
+            g = jnp.repeat(g, b, axis=1)
+        else:
+            g = jnp.tile(g, (1, b) + (1,) * (x.ndim - 1))
+        return g.reshape((B * b,) + x.shape[1:])
+
+    pfi = grouped_pairs(fi, True)
+    pmi = grouped_pairs(mi, True)
+    pft = grouped_pairs(ft, False)
+    pmt = grouped_pairs(mt, False)
     out = model.apply(
         variables, pfi, pmi, pft, pmt, deterministic=deterministic,
         method=LavenderModel.go_cross, rngs=rngs)
     score = model.apply(
         variables, out[:, Lv], deterministic,
         method=lambda m, x, d: m.fc(x, deterministic=d), rngs=rngs)
-    return score.reshape(B, B) / temp
+    if group == 1:
+        return score.reshape(B, B) / temp
+    return score.reshape(group, b, b) / temp
 
 
-def make_retrieval_ts_loss(model: LavenderTS, temp: float):
-    """NormSoftmax InfoNCE over the B x B matrix (agent.py:46-65)."""
+def make_retrieval_ts_loss(model: LavenderTS, temp: float, group: int = 1):
+    """NormSoftmax InfoNCE over the (per-group) b x b matrix
+    (agent.py:46-65)."""
 
     def loss_fn(params, batch, dropout_rng):
         score = retrieval_ts_scores(
             model, {"params": params}, batch["img"], batch["txt"],
             batch["mask"], deterministic=False,
-            rngs={"dropout": dropout_rng})
-        return common.norm_softmax_loss(score, temp)
+            rngs={"dropout": dropout_rng}, group=group)
+        if group == 1:
+            return common.norm_softmax_loss(score, temp)
+        losses = [common.norm_softmax_loss(score[g], temp)
+                  for g in range(group)]
+        return jnp.mean(jnp.stack(losses))
 
     return loss_fn
 
@@ -205,7 +228,8 @@ def make_retmc_ts_loss(model: LavenderTS):
 
 
 def make_multi_head_losses(model: LavenderMultiHead, temp: float,
-                           kinds: dict, label_smoothing: float = 0.1):
+                           kinds: dict, label_smoothing: float = 0.1,
+                           group: int = 1):
     """Per-entry loss table for the multi-head baseline
     (main_multi_task_multi_head.py:110-242): retrieval entries use the
     shared scalar ``fc`` + NormSoftmax (:239-240); qamc/qaoe entries use
@@ -229,7 +253,8 @@ def make_multi_head_losses(model: LavenderMultiHead, temp: float,
     losses = {}
     for name, kind in kinds.items():
         if kind == "retrieval":
-            losses[name] = make_retrieval_ts_loss(model, temp)
+            losses[name] = make_retrieval_ts_loss(model, temp,
+                                                  group=group)
         elif kind == "captioning":
             losses[name] = make_caption_loss_fn(model, label_smoothing)
         else:  # qamc / qaoe classifier heads

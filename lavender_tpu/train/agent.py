@@ -40,7 +40,7 @@ class Agent:
         self.cfg = run_cfg
         self.model = model
         self.variables = variables
-        self.mesh = mesh
+        self.mesh = mesh if mesh is not None else pmesh.global_mesh()
         self.log: Dict[str, List] = defaultdict(list)
         self.logger = main_logger()
         tcfg = run_cfg.train
@@ -97,12 +97,33 @@ class Agent:
             gathered.extend(np.ravel(per_host).tolist())
         return float(np.mean(gathered)) if gathered else float("nan")
 
+    def eval_params(self):
+        """Params usable by the (host-local) eval jit.
+
+        Single process: the live (possibly mesh-sharded) params — jit
+        consumes committed shardings directly.  Multi-process mesh: the
+        eval loop is per-host over the loader's rank shard, so TP-sharded
+        params are first all-gathered into fully-replicated global arrays
+        (a jit identity with replicated out_shardings) and materialized
+        host-locally; metrics then combine via all_gather_obj exactly like
+        the reference's per-rank eval + all_gather (main_retrieval_mlm.py
+        :138-148)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return self.state.params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        out_sh = jax.tree_util.tree_map(lambda _: rep, self.state.params)
+        gathered = jax.jit(lambda p: p, out_shardings=out_sh)(
+            self.state.params)
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), gathered)
+
     def eval_epoch(self, dl, **kw) -> float:
         assert self.eval_step is not None
         accs: List[float] = []
+        params = self.eval_params()
         for batch in dl:
             batch = self.batch_to_device(batch)
-            out = self.eval_step({"params": self.state.params}, batch, **kw)
+            out = self.eval_step({"params": params}, batch, **kw)
             ac = out[-1] if isinstance(out, tuple) else out
             accs.extend(np.asarray(ac, np.float64).ravel().tolist())
         gathered = []
@@ -122,10 +143,14 @@ class Agent:
             ckpt_lib.save_training_meta(self.cfg, self.cfg.path_output)
 
     def save_model(self, ep: int):
+        # multi-process: gather TP shards into host-local arrays first so
+        # the rank-0-only Orbax save (agent.py:164-182 semantics) never
+        # touches non-addressable shards
+        params = self.eval_params()
         if pmesh.is_main_process():
             path = op.join(self.cfg.path_output,
                            f"ckpt_{self.cfg.data.task or 'model'}_{ep}")
-            ckpt_lib.save_params(self.state.params, path)
+            ckpt_lib.save_params(params, path)
             ckpt_lib.save_log(dict(self.log), self.cfg.path_output)
 
     def best_epoch(self):

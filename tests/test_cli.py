@@ -38,23 +38,37 @@ def data_dir(tmp_path_factory):
     with open(d / "img_toy.id2lineidx.pkl", "wb") as f:
         pickle.dump(id2lineidx, f)
 
+    # train split holds 24 entries (4 per video) so the per-DEVICE batch
+    # semantics (size_batch=3 x dp=8 virtual devices = 24-row loader
+    # batches) yield a full sharded train step; val/test stay at 6
     captions = ["a man is talking", "a dog is playing", "a woman is playing",
                 "the cat is talking", "a person is playing", "a dog runs"]
-    ret = {s: [{"video": f"vid{i}", "caption": captions[i]}
-               for i in range(n_vid)] for s in ["train", "val", "test"]}
+    verbs = ["talks", "plays", "runs", "sits"]
+
+    def entries(split, make):
+        n = 24 if split == "train" else n_vid
+        return [make(i) for i in range(n)]
+
+    ret = {s: entries(s, lambda i: {
+        "video": f"vid{i % n_vid}",
+        "caption": captions[i % n_vid] if i < n_vid
+        else f"a person {verbs[i % 4]} {i}"})
+        for s in ["train", "val", "test"]}
     with open(d / "txt_toyret.json", "w") as f:
         json.dump(ret, f)
 
-    qamc = {s: [{"video": f"vid{i}", "question": "what is it",
-                 "option_0": "a dog", "option_1": "a cat",
-                 "option_2": "a man", "answer": i % 3}
-                for i in range(n_vid)] for s in ["train", "val", "test"]}
+    qamc = {s: entries(s, lambda i: {
+        "video": f"vid{i % n_vid}", "question": f"what is it {i}",
+        "option_0": "a dog", "option_1": "a cat",
+        "option_2": "a man", "answer": i % 3})
+        for s in ["train", "val", "test"]}
     with open(d / "txt_toymc.json", "w") as f:
         json.dump(qamc, f)
 
-    qaoe = {s: [{"video": f"vid{i}", "question": "what is playing",
-                 "answer_text": ["dog", "cat", "man"][i % 3]}
-                for i in range(n_vid)] for s in ["train", "val", "test"]}
+    qaoe = {s: entries(s, lambda i: {
+        "video": f"vid{i % n_vid}", "question": f"what is playing {i}",
+        "answer_text": ["dog", "cat", "man"][i % 3]})
+        for s in ["train", "val", "test"]}
     with open(d / "txt_toyoe.json", "w") as f:
         json.dump(qaoe, f)
 
@@ -145,12 +159,21 @@ def test_cli_eval_retrieval(data_dir, tmp_path):
         assert 0.0 <= res[split]["R@1"] <= 100.0
 
 
+def _pretrain_shard(data_dir, name):
+    """24-row shard (img_toy.tsv x4) so the dp=8-scaled loader batch fills
+    (len(PretrainDataset) == len(tsv))."""
+    from lavender_tpu.data.tsv import TSVFile
+    src = TSVFile(str(data_dir / "img_toy.tsv"))
+    rows = [src.seek(i) for i in range(len(src))] * 4
+    tsv_writer(rows, str(data_dir / f"{name}_train_0.tsv"))
+
+
 def test_cli_pretrain(data_dir, tmp_path):
-    import shutil
     from lavender_tpu.cli.main import main
     # shard layout: {dataset}_train_{part}.tsv + txt_{dataset}.json (vid->caps)
-    shutil.copy(data_dir / "img_toy.tsv", data_dir / "toypre_train_0.tsv")
-    caps = {f"vid{i}": [f"a dog is playing {i}"] for i in range(6)}
+    _pretrain_shard(data_dir, "toypre")
+    caps = {f"vid{i}": [f"a dog is playing {i} take {j}" for j in range(4)]
+            for i in range(6)}
     with open(data_dir / "txt_toypre.json", "w") as f:
         json.dump({"train": caps}, f)
     log = main(["--task", "pretrain_mlm",
@@ -202,10 +225,10 @@ def test_cli_retmc_ts(data_dir, tmp_path):
 
 
 def test_cli_pretrain_ts(data_dir, tmp_path):
-    import shutil
     from lavender_tpu.cli.main import main
-    shutil.copy(data_dir / "img_toy.tsv", data_dir / "toypre2_train_0.tsv")
-    caps = {f"vid{i}": [f"a dog is playing {i}"] for i in range(6)}
+    _pretrain_shard(data_dir, "toypre2")
+    caps = {f"vid{i}": [f"a dog is playing {i} take {j}" for j in range(4)]
+            for i in range(6)}
     with open(data_dir / "txt_toypre2.json", "w") as f:
         json.dump({"train": caps}, f)
     log = main(["--task", "pretrain_ts",
@@ -279,8 +302,9 @@ def test_cli_qaoe_mlm_fib(data_dir, tmp_path):
     import json as jsonmod
     from lavender_tpu.cli.main import main
     ans_vocab = ["dog", "cat", "man"]
-    fib = {s: [{"video": f"vid{i}", "sentence": "the [MASK] is playing",
-                "answer": i % 3} for i in range(6)]
+    fib = {s: [{"video": f"vid{i % 6}", "sentence": "the [MASK] is playing",
+                "answer": i % 3}
+               for i in range(24 if s == "train" else 6)]
            for s in ["train", "val", "test"]}
     with open(data_dir / "txt_toyfib.json", "w") as f:
         jsonmod.dump(fib, f)
