@@ -263,26 +263,37 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
     if with_mlp:
         # whole-slab LN2 + MLP + residual on the attention output (read
-        # back from the still-in-VMEM output block)
+        # back from the still-in-VMEM output block), ROW-CHUNKED so the
+        # f32 [rows, HD] intermediate (+ GELU temps) stays ~<= 2.5 MB of
+        # scoped VMEM (the unchunked stage-1 slab at D=5 hit 18 MB and
+        # failed scoped-vmem allocation)
         from lavender_tpu.ops.fused_mlp import _gelu_exact
-        y = o_ref[0, :, 0].reshape(D * wh * Wp, C)
-        yf = y.astype(jnp.float32)
-        mu2 = jnp.mean(yf, axis=-1, keepdims=True)
-        var2 = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
-            - jnp.square(mu2)
-        ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
-        ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
-            + n2b_ref[:].astype(jnp.float32)
-        hmid = jax.lax.dot_general(
-            ln2.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) \
-            + b1_ref[:].astype(jnp.float32)
-        hmid = _gelu_exact(hmid)
-        o2 = jax.lax.dot_general(
-            hmid.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) \
-            + b2_ref[:].astype(jnp.float32)
-        o_ref[0, :, 0] = (y + o2.astype(dt)).reshape(D, wh, Wp, C)
+        M = D * wh * Wp
+        HD = w1_ref.shape[1]
+        y = o_ref[0, :, 0].reshape(M, C)
+        rows_c = max(8, ((2_500_000 // (HD * 4)) // 8) * 8)
+        parts = []
+        for r0 in range(0, M, rows_c):
+            yc = y[r0:min(M, r0 + rows_c)]
+            yf = yc.astype(jnp.float32)
+            mu2 = jnp.mean(yf, axis=-1, keepdims=True)
+            var2 = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
+                - jnp.square(mu2)
+            ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
+            ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
+                + n2b_ref[:].astype(jnp.float32)
+            hmid = jax.lax.dot_general(
+                ln2.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + b1_ref[:].astype(jnp.float32)
+            hmid = _gelu_exact(hmid, precise=(dt == jnp.float32))
+            o2 = jax.lax.dot_general(
+                hmid.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + b2_ref[:].astype(jnp.float32)
+            parts.append(yc + o2.astype(dt))
+        out2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        o_ref[0, :, 0] = out2.reshape(D, wh, Wp, C)
 
 
 def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,

@@ -205,3 +205,21 @@ def test_bert_encoder_fused_attn_matches_module_path():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+def test_polynomial_gelu_accuracy():
+    """The bf16-path polynomial GELU (fused_mlp._gelu_exact precise=False)
+    is exact to bf16 resolution: |err| <= 6.5e-4 absolute everywhere,
+    with exact 0 / x tails beyond +-4 (checkpoint-scale activations)."""
+    from lavender_tpu.ops.fused_mlp import _gelu_exact
+    x = jnp.asarray(np.linspace(-50, 50, 200001), jnp.float32)
+    got = np.asarray(_gelu_exact(x))
+    want = np.asarray(jax.nn.gelu(x, approximate=False))
+    assert np.abs(got - want).max() < 6.6e-4
+    # tails exact
+    assert np.all(got[np.asarray(x) < -4.0] == 0.0)
+    np.testing.assert_array_equal(got[np.asarray(x) > 4.0],
+                                  np.asarray(x)[np.asarray(x) > 4.0])
+    # f32 path unchanged (A-S erf)
+    got_p = np.asarray(_gelu_exact(x, precise=True))
+    assert np.abs(got_p - want).max() < 2e-6
