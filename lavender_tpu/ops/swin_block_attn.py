@@ -43,6 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+_LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
+
+
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
@@ -217,7 +220,13 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                 # below ~-85 every term underflows and the max(l, tiny)
                 # guard returns ~0 instead of 0/0 = NaN (e.g. a row whose
                 # keys are ALL shift-masked).
-                p = jnp.exp(jnp.minimum(s, 80.0))
+                #
+                # exp2 instead of exp: log2(e) is pre-folded into
+                # attn_scale / bias / mask by the host wrapper, so
+                # exp(s_nat) == exp2(s) with NO per-tile multiply (XLA/
+                # Mosaic lower exp as exp2(x*log2e) — the fold deletes
+                # that [Np, Np] multiply pass).  Cap 80*log2(e).
+                p = jnp.exp2(jnp.minimum(s, 115.4156))
                 l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
                 o = jax.lax.dot_general(
                     p.astype(dt), v, (((1,), (0,)), ((), ())),
@@ -343,23 +352,30 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
     wp_h = wproj.reshape(n_grp, gw, C)
 
     dt = x.dtype
-    bias_p = bias.astype(dt)  # pre-padded [nH, Np, Np] (rel_pos_bias_padded)
+    # exp2 fold: log2(e) pre-multiplied into bias/mask/attn_scale so the
+    # kernel's softmax is a raw exp2 (see _block_kernel).  f32 multiply
+    # before the dt cast == the old dt cast + exact in-exp multiply.
+    bias_p = (bias.astype(jnp.float32) * _LOG2E).astype(dt)
     assert bias_p.shape == (nH, Np, Np), bias_p.shape
+    # grid order (nR, B): batch varies FASTEST, so the r-indexed shift-mask
+    # block is re-fetched only on r changes (nR fetches total) instead of
+    # every grid step (B*nR) — the Pallas pipeline skips same-index
+    # refetches.  Saves ~240 MB/block of mask traffic at stage 1.
     if shifted:
         mask = padded_shift_mask(D, H, Wp, (wd, wh, ww), shift, ww)
-        mask = mask.reshape(nR, nWc, Np, Np).astype(dt)
-        mask_spec = pl.BlockSpec((1, nWc, Np, Np), lambda b, r: (r, 0, 0, 0),
+        mask = (mask * _LOG2E).reshape(nR, nWc, Np, Np).astype(dt)
+        mask_spec = pl.BlockSpec((1, nWc, Np, Np), lambda r, b: (r, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
         mask_per_window = True
     else:
         mask = jnp.zeros((1, Np, Np), dt)
-        mask_spec = pl.BlockSpec((1, Np, Np), lambda b, r: (0, 0, 0),
+        mask_spec = pl.BlockSpec((1, Np, Np), lambda r, b: (0, 0, 0),
                                  memory_space=pltpu.VMEM)
         mask_per_window = False
     full = lambda shape: pl.BlockSpec(
-        shape, lambda b, r: (0,) * len(shape), memory_space=pltpu.VMEM)
+        shape, lambda r, b: (0,) * len(shape), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, D, 1, wh, Wp, C), lambda b, r: (b, 0, r, 0, 0, 0),
+        pl.BlockSpec((1, D, 1, wh, Wp, C), lambda r, b: (b, 0, r, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         full((C,)), full((C,)),
         full((n_grp, C, gw)), full((n_grp, C, gw)), full((n_grp, C, gw)),
@@ -385,8 +401,8 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
     kernel = functools.partial(
         _block_kernel, D=D, wh=wh, Wp=Wp, C=C, nH=nH, wwp=wwp,
-        attn_scale=attn_scale, eps=eps, mask_per_window=mask_per_window,
-        with_mlp=with_mlp)
+        attn_scale=attn_scale * _LOG2E, eps=eps,
+        mask_per_window=mask_per_window, with_mlp=with_mlp)
 
     flops_step = nWc * nH * (2 * Np * C * hd * 3 + 4 * Np * Np * hd
                              + 2 * Np * hd * C)
@@ -394,10 +410,10 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
         flops_step += 4 * (D * wh * Wp) * C * HD
     out = pl.pallas_call(
         kernel,
-        grid=(B, nR),
+        grid=(nR, B),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, D, 1, wh, Wp, C),
-                               lambda b, r: (b, 0, r, 0, 0, 0),
+                               lambda r, b: (b, 0, r, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xk.shape, dt),
         scratch_shapes=[pltpu.VMEM((D * wh, Wp, C), dt)],
