@@ -30,8 +30,9 @@ def main():
                          "fetch rides a relay whose RTT varies tens of ms)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
     ap.add_argument("--attn", default="fused",
-                    choices=["xla", "pallas", "fused"],
-                    help="window-attention implementation")
+                    choices=["xla", "pallas", "fused", "wm"],
+                    help="window-attention implementation (wm = fused "
+                         "kernels on window-major stage layout)")
     ap.add_argument("--no-scan", action="store_true",
                     help="disable scan-over-layers (debug)")
     ap.add_argument("--fused-bert-attn", action="store_true",
@@ -79,7 +80,7 @@ def main():
             jax.config.update("jax_enable_compilation_cache", False)
         except Exception:
             pass
-        if args.attn in ("pallas", "fused"):
+        if args.attn in ("pallas", "fused", "wm"):
             # Mosaic kernels only lower on TPU; the CPU path is a
             # correctness smoke, so silently use the XLA oracle instead
             args.attn = "xla"
@@ -108,7 +109,7 @@ def main():
             bert = dataclasses.replace(bert, remat=True)
         if args.remat_swin:
             swin = dataclasses.replace(swin, remat=True)
-    if args.attn == "fused":
+    if args.attn in ("fused", "wm"):
         bert = dataclasses.replace(bert, fused_ffn=True, fused_attn=True)
     if args.fused_bert_attn:
         bert = dataclasses.replace(bert, fused_attn=True)

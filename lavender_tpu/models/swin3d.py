@@ -518,6 +518,100 @@ class SwinBlock3D(nn.Module):
         return x
 
 
+class SwinBlockWM(nn.Module):
+    """One Swin 3D block on WINDOW-MAJOR tokens [B, nW, Npad, C].
+
+    Same math and the SAME param tree as SwinBlock3D's fused path (so
+    checkpoints and goldens are layout-identical), but the whole stage
+    runs window-partitioned: the score tile is Npad^2 = 248^2 instead of
+    the spatial kernel's (D*wh*8)^2 = 280^2 (-21% attention FLOPs/VPU
+    passes) and slab rows drop 560 -> 496 per 2 windows (-11% qkv/proj/
+    MLP rows).  The caller (_BlockPairWM) materializes the cyclic shift
+    with wm_shift; ``masked`` selects the shifted block's per-window
+    mask.  Reference semantics: SwinTransformerBlock3D
+    (video_swin.py:173-261)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    spatial: Tuple[int, int, int]
+    shift_size: Tuple[int, int, int]  # (0,0,0) for block a
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True,
+                 dp_rate=None) -> Array:
+        from lavender_tpu.ops.swin_block_attn import (
+            _round8, full_block_fits_vmem, fused_swin_block_wm,
+            fused_swin_block_wm_full, rel_pos_bias_wm)
+        D, H, W = self.spatial
+        window_size, shift_size = get_window_size(
+            (D, H, W), self.window_size, self.shift_size)
+        B, nW, Npad, C = x.shape
+        N = int(np.prod(window_size))
+
+        hidden_f = int(self.dim * self.mlp_ratio)
+        n2_scale, n2_bias = _LNParams(self.dim, name="norm2")()
+        k1, b1, k2, b2 = _MlpParams(self.dim, hidden_f, name="mlp")()
+        n1_scale, n1_bias = _LNParams(self.dim, name="norm1")()
+        wqkv, bqkv, wproj, bproj, table = _WinAttnParams(
+            dim=self.dim, window_size=tuple(self.window_size),
+            num_heads=self.num_heads, qkv_bias=True, name="attn")()
+
+        bias = rel_pos_bias_wm(table, tuple(self.window_size),
+                               window_size, Npad, self.dtype)
+        shifted = any(s > 0 for s in shift_size)
+        mask = (compute_shift_mask_jnp(D, H, W, window_size, shift_size)
+                if shifted else None)
+        scale = self.qk_scale or (C // self.num_heads) ** -0.5
+        args = (n1_scale, n1_bias, wqkv.astype(self.dtype),
+                bqkv.astype(self.dtype), wproj.astype(self.dtype),
+                bproj.astype(self.dtype), bias, mask)
+        statics = ((D, H, W), window_size, self.num_heads, scale,
+                   self.layer_norm_eps)
+        rate = dp_rate if dp_rate is not None else 0.0
+        use_dp = not deterministic and dp_rate is not None
+        if use_dp:
+            rng1, rng2 = jax.random.split(self.make_rng("dropout"))
+        if not use_dp and full_block_fits_vmem(
+                C, hidden_f, self.num_heads, Npad):
+            return fused_swin_block_wm_full(
+                x, *args, n2_scale, n2_bias,
+                k1.astype(self.dtype), b1.astype(self.dtype),
+                k2.astype(self.dtype), b2.astype(self.dtype), *statics)
+        if not use_dp:
+            x = fused_swin_block_wm(x, *args, *statics)
+        else:
+            full = fused_swin_block_wm(x, *args, *statics)
+            x = drop_path_lerp(x, full, rate, deterministic, rng1)
+
+        from lavender_tpu.ops.fused_mlp import (
+            fused_ln_mlp, ln_mlp_reference, weights_fit_vmem)
+        flat = x.reshape(-1, C)
+        if use_dp:
+            if weights_fit_vmem(C, hidden_f):
+                out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1,
+                                   k2, b2, self.layer_norm_eps)
+            else:
+                out = ln_mlp_reference(flat, n2_scale, n2_bias, k1, b1,
+                                       k2, b2, self.layer_norm_eps)
+            mlp_out = out.astype(self.dtype).reshape(x.shape)
+            return x + drop_path(mlp_out, rate, deterministic, rng2)
+        if weights_fit_vmem(C, hidden_f):
+            out = fused_ln_mlp(flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                               self.layer_norm_eps, True)
+        else:
+            from lavender_tpu.ops.fused_mlp import fused_ln_mlp_chunked
+            out = fused_ln_mlp_chunked(
+                flat, n2_scale, n2_bias, k1, b1, k2, b2,
+                self.layer_norm_eps, add_residual=True)
+        return out.astype(self.dtype).reshape(x.shape)
+
+
 class PatchMerging(nn.Module):
     """2x spatial downsample via 4-neighbour concat + linear (video_swin.py:264-287)."""
 
@@ -579,6 +673,50 @@ class _BlockPair(nn.Module):
         return x, None
 
 
+class _BlockPairWM(nn.Module):
+    """One (no-shift, shift) block pair on window-major tokens — the scan
+    body for wm stages.  Declares the SAME param tree as _BlockPair
+    (names "a"/"b"), so checkpoints are layout-identical; the cyclic
+    shift is materialized as ONE fused relayout (wm_shift) around the
+    shifted block instead of the spatial path's roll + re-pad."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    spatial: Tuple[int, int, int]
+    shift: Tuple[int, int, int]
+    mlp_ratio: float
+    qkv_bias: bool
+    qk_scale: Optional[float]
+    layer_norm_eps: float
+    deterministic: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, dpr: Array):
+        from lavender_tpu.ops.swin_block_attn import wm_shift
+        D, H, W = self.spatial
+        window_size, shift_size = get_window_size(
+            (D, H, W), self.window_size, self.shift)
+        common = dict(
+            dim=self.dim, num_heads=self.num_heads,
+            window_size=self.window_size, spatial=self.spatial,
+            mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, layer_norm_eps=self.layer_norm_eps,
+            dtype=self.dtype)
+        x = SwinBlockWM(shift_size=(0, 0, 0), name="a", **common)(
+            x, self.deterministic, dpr[0])
+        shifted = any(s > 0 for s in shift_size)
+        if shifted:
+            x = wm_shift(x, window_size, D, H, W, shift_size)
+        x = SwinBlockWM(shift_size=self.shift, name="b", **common)(
+            x, self.deterministic, dpr[1])
+        if shifted:
+            x = wm_shift(x, window_size, D, H, W, shift_size,
+                         inverse=True)
+        return x, None
+
+
 class BasicLayer(nn.Module):
     """One Swin stage: ``depth`` blocks alternating no-shift/shift, then
     optional PatchMerging (video_swin.py:308-368)."""
@@ -601,6 +739,41 @@ class BasicLayer(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         shift = tuple(w // 2 for w in self.window_size)
+        from lavender_tpu.ops.swin_block_attn import (
+            _round8, supports_fused_block, wm_partition, wm_reverse)
+        B, D, H, W, _ = x.shape
+        window_eff, _ = get_window_size((D, H, W), self.window_size, shift)
+        wm_ok = (self.attn_impl == "wm" and self.qkv_bias
+                 and not self.remat
+                 and supports_fused_block(D, H, W, window_eff)
+                 and self.scan_blocks and self.depth % 2 == 0
+                 and self.depth >= 2)
+        if wm_ok:
+            n_pairs = self.depth // 2
+            dpr = self.drop_path_rates or (0.0,) * self.depth
+            dpr_pairs = jnp.asarray(dpr, jnp.float32).reshape(n_pairs, 2)
+            Npad = _round8(int(np.prod(window_eff)))
+            x = wm_partition(x, window_eff, Npad)
+            scanned = nn.scan(
+                _BlockPairWM,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0, length=n_pairs)
+            x, _ = scanned(
+                dim=self.dim, num_heads=self.num_heads,
+                window_size=self.window_size, spatial=(D, H, W),
+                shift=shift, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                layer_norm_eps=self.layer_norm_eps,
+                deterministic=deterministic, dtype=self.dtype,
+                name="blocks_scan")(x, dpr_pairs)
+            x = wm_reverse(x, window_eff, D, H, W)
+            if self.has_downsample:
+                x = PatchMerging(dim=self.dim,
+                                 layer_norm_eps=self.layer_norm_eps,
+                                 dtype=self.dtype, name="downsample")(x)
+            return x
+        attn_impl = "fused" if self.attn_impl == "wm" else self.attn_impl
         if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
             n_pairs = self.depth // 2
             dpr = self.drop_path_rates or (0.0,) * self.depth
@@ -617,7 +790,7 @@ class BasicLayer(nn.Module):
                 dim=self.dim, num_heads=self.num_heads,
                 window_size=self.window_size, shift=shift,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                qk_scale=self.qk_scale, attn_impl=self.attn_impl,
+                qk_scale=self.qk_scale, attn_impl=attn_impl,
                 layer_norm_eps=self.layer_norm_eps,
                 deterministic=deterministic, dtype=self.dtype,
                 name="blocks_scan")(x, dpr_pairs)
@@ -633,7 +806,7 @@ class BasicLayer(nn.Module):
                     qk_scale=self.qk_scale,
                     drop_path_rate=(self.drop_path_rates[i]
                                     if self.drop_path_rates else 0.0),
-                    attn_impl=self.attn_impl,
+                    attn_impl=attn_impl,
                     layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
                     name=f"blocks_{i}")(x, deterministic)
         if self.has_downsample:

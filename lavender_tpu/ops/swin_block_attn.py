@@ -133,39 +133,17 @@ def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
     return jnp.asarray(np.where(diff, -100.0, 0.0).astype(np.float32))
 
 
-def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
-                  b3_ref, wp_ref, bp_ref, bias_ref, mask_ref,
-                  n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                  ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
-                  wwp: int, attn_scale: float, eps: float,
-                  mask_per_window: bool, with_mlp: bool):
-    """One grid step = one (batch, window-row) slab — a WHOLE Swin block
-    when with_mlp (attention + both residuals + LN2 + MLP; the cyclic roll
-    is a token permutation and MLP/LN are pointwise, so the merged tail is
-    exact on the rolled/padded layout).
+def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
+                      bias_ref, *, Np: int, C: int, nH: int,
+                      attn_scale: float, dt):
+    """Shared single-window attention body for the spatial-slab and
+    window-major kernels.
 
-    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
-    All in-kernel reshapes are free tile merges (wwp is 8-aligned).
-    """
-    nWc = Wp // wwp
-    Np = D * wh * wwp
-    dt = ln_buf.dtype
-
-    x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    # E[x^2] - mu^2: saves the centered-subtraction pass over [M, C]
-    # (f32-safe at LN-input magnitudes; golden tests bound the error)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
-    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
-    ln = ln * scale_ref[:].astype(jnp.float32) \
-        + lnb_ref[:].astype(jnp.float32)
-
-    # heads are processed in lane-width groups: the qkv and projection
-    # matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
-    # q/k/v come out as STATIC lane slices (the group loop is a python
-    # loop, so Mosaic sees constant offsets); only the score/pv dots stay
-    # hd-thin — those are inherent to head_dim=32
+    Heads are processed in lane-width groups: the qkv and projection
+    matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
+    q/k/v come out as STATIC lane slices (the group loop is a python
+    loop, so Mosaic sees constant offsets); only the score/pv dots stay
+    hd-thin — those are inherent to head_dim=32."""
     n_grp = wq_ref.shape[0]
     g_width = wq_ref.shape[2]
     g_size = nH // n_grp
@@ -239,6 +217,40 @@ def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                 preferred_element_type=jnp.float32)
         return acc + bp_ref[:].astype(jnp.float32)
 
+    return attn_window
+
+
+def _block_kernel(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                  b3_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                  n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  ln_buf, *, D: int, wh: int, Wp: int, C: int, nH: int,
+                  wwp: int, attn_scale: float, eps: float,
+                  mask_per_window: bool, with_mlp: bool):
+    """One grid step = one (batch, window-row) slab — a WHOLE Swin block
+    when with_mlp (attention + both residuals + LN2 + MLP; the cyclic roll
+    is a token permutation and MLP/LN are pointwise, so the merged tail is
+    exact on the rolled/padded layout).
+
+    x_ref/o_ref: [1, D, 1, wh, Wp, C]; ln_buf scratch: [D*wh, Wp, C].
+    All in-kernel reshapes are free tile merges (wwp is 8-aligned).
+    """
+    nWc = Wp // wwp
+    Np = D * wh * wwp
+    dt = ln_buf.dtype
+
+    x = x_ref[0, :, 0].reshape(D * wh, Wp, C)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    # E[x^2] - mu^2: saves the centered-subtraction pass over [M, C]
+    # (f32-safe at LN-input magnitudes; golden tests bound the error)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * scale_ref[:].astype(jnp.float32) \
+        + lnb_ref[:].astype(jnp.float32)
+
+    attn_window = _make_attn_window(
+        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
+        Np=Np, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
     if nWc <= 2:
         # few-window stages (3, 4): a STATIC python loop — every ln/x/o
         # slice is a constant 8-row-aligned offset and the ln scratch
@@ -435,9 +447,14 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
 
 def swin_block_attn_reference(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                               bproj, bias, window, shift, nH, attn_scale,
-                              eps, shift_mask: Optional[Array]) -> Array:
+                              eps, shift_mask: Optional[Array],
+                              window_mask: Optional[Array] = None) -> Array:
     """Pure-JAX oracle of the fused block (= part1 + residual of
-    SwinBlock3D with the XLA attention path)."""
+    SwinBlock3D with the XLA attention path).
+
+    ``window_mask`` [nW, N, N]: per-window additive mask applied WITHOUT
+    a roll — for callers (the wm path) whose input windows are already
+    shifted."""
     B, D, H, W, C = x.shape
     hd = C // nH
     h = x.astype(jnp.float32)
@@ -461,6 +478,11 @@ def swin_block_attn_reference(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
     if shifted and shift_mask is not None:
         nW = shift_mask.shape[0]
         s = s.reshape(-1, nW, nH, N, N) + shift_mask[None, :, None]
+        s = s.reshape(-1, nH, N, N)
+    if window_mask is not None:
+        nW = window_mask.shape[0]
+        s = s.reshape(-1, nW, nH, N, N) \
+            + window_mask[None, :, None].astype(s.dtype)
         s = s.reshape(-1, nH, N, N)
     p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
     o = jnp.einsum("bhnm,bhmd->bhnd", p, v,
@@ -580,3 +602,385 @@ def full_block_fits_vmem(C: int, HD: int, nH: int, Np: int,
     mlp_w = 2 * C * HD * 2
     bias_b = nH * Np * Np * 2
     return attn_w + mlp_w + bias_b + 4 * 1024 * 1024 <= budget
+
+
+# ---------------------------------------------------------------------------
+# Window-major ("wm") whole-block kernel.
+#
+# The spatial-slab kernel above pads every 7-token window RUN to 8 lanes
+# IN PLACE, so the [Np, Np] score tile carries Np = D*wh*8 = 280 rows+cols
+# for 245 valid tokens (+30% score FLOPs/VPU work) and every slab row
+# carries Wp/W = 8/7 pad (+14% qkv/proj/MLP rows).  Running the whole
+# stage WINDOW-MAJOR — x as [B, nW, Npad, C] with each window's D*wh*ww
+# tokens contiguous and one tail pad 245 -> Npad = 248 — shrinks the
+# score tile to 248^2 (-21%) and the row count to 248/245 (-1.2%), at the
+# cost of one relayout per stage boundary and one fused
+# reverse+roll+partition relayout around each shifted block (the same
+# traffic the spatial path already pays for its roll+re-pad).
+#
+# Token order inside a window is the reference's row-major (d, i, j), so
+# numerics are identical; pad rows (tokens >= N) are masked as KEYS by
+# the bias (-100 columns) and produce finite garbage as QUERIES that only
+# ever lands back in pad rows — no valid output reads a pad value, and
+# the stage-exit relayout drops them (gradients: the exit vjp injects
+# zero cotangent into pads, so pad garbage never back-propagates).
+# ---------------------------------------------------------------------------
+
+
+def wm_partition(x: Array, window: Tuple[int, int, int], Npad: int) -> Array:
+    """[B, D, H, W, C] -> window-major [B, nW, Npad, C] (tail zero-pad).
+
+    Pure reshape/transpose/pad — XLA fuses it (and its composition with a
+    roll, see wm_shift) into one copy."""
+    B, D, H, W, C = x.shape
+    wd, wh, ww = window
+    nR, nWc = H // wh, W // ww
+    N = wd * wh * ww
+    t = x.reshape(B, D, nR, wh, nWc, ww, C)
+    t = t.transpose(0, 2, 4, 1, 3, 5, 6).reshape(B, nR * nWc, N, C)
+    if Npad > N:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
+    return t
+
+
+def wm_reverse(t: Array, window: Tuple[int, int, int], D: int, H: int,
+               W: int) -> Array:
+    """window-major [B, nW, >=N, C] -> [B, D, H, W, C] (drops pad rows)."""
+    B = t.shape[0]
+    C = t.shape[-1]
+    wd, wh, ww = window
+    nR, nWc = H // wh, W // ww
+    N = wd * wh * ww
+    s = t[:, :, :N].reshape(B, nR, nWc, D, wh, ww, C)
+    return s.transpose(0, 3, 1, 4, 2, 5, 6).reshape(B, D, H, W, C)
+
+
+def wm_shift(t: Array, window: Tuple[int, int, int], D: int, H: int,
+             W: int, shift: Tuple[int, int, int],
+             inverse: bool = False) -> Array:
+    """Cyclic shift expressed in window-major coordinates: reverse ->
+    roll -> partition.  All three are layout ops, so XLA emits ONE fused
+    copy — the same cost as the spatial path's roll+re-pad."""
+    xs = wm_reverse(t, window, D, H, W)
+    sh = tuple(int(s) if inverse else -int(s) for s in shift)
+    xs = jnp.roll(xs, sh, axis=(1, 2, 3))
+    return wm_partition(xs, window, t.shape[2])
+
+
+def rel_pos_bias_wm(table: Array, window_full: Tuple[int, int, int],
+                    window_eff: Tuple[int, int, int], Npad: int,
+                    dtype) -> Array:
+    """Tail-padded rel-pos bias [nH, Npad, Npad] for the wm kernel,
+    built from iota (zero literals — see relative_position_index_jnp).
+
+    Equivalent to relative_position_index(window_full)[:N, :N] gathered
+    from ``table`` with pad rows duplicating token N-1 and pad COLUMNS
+    forced to -100 (pad keys masked for every query).  Valid because the
+    effective window only ever shrinks in the leading (temporal) dim, so
+    full-window flat order restricted to the first N tokens IS the
+    effective window's row-major order (same assumption as the spatial
+    kernel's rpi[:N, :N])."""
+    wdf, whf, wwf = window_full
+    wde, whe, wwe = window_eff
+    N = wde * whe * wwe
+    t = jnp.minimum(jnp.arange(Npad, dtype=jnp.int32), N - 1)
+    d = t // (whe * wwe)
+    h = (t // wwe) % whe
+    w = t % wwe
+    rel_d = d[:, None] - d[None, :] + (wdf - 1)
+    rel_h = h[:, None] - h[None, :] + (whf - 1)
+    rel_w = w[:, None] - w[None, :] + (wwf - 1)
+    idx = (rel_d * (2 * whf - 1) * (2 * wwf - 1)
+           + rel_h * (2 * wwf - 1) + rel_w)
+    out = jnp.take(table.astype(dtype).T, idx.reshape(-1), axis=1)
+    out = out.reshape(-1, Npad, Npad)
+    valid = jnp.arange(Npad, dtype=jnp.int32) < N
+    return jnp.where(valid[None, None, :], out, jnp.asarray(-100.0, dtype))
+
+
+def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                     b3_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                     n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     o_ref, ln_buf, *, G: int, Npad: int, C: int, nH: int,
+                     attn_scale: float, eps: float, with_mask: bool,
+                     with_mlp: bool):
+    """One grid step = G whole windows, rows contiguous: x_ref/o_ref
+    [1, G*Npad, C]; mask_ref [G, Npad, Npad] when with_mask."""
+    dt = ln_buf.dtype
+    x = x_ref[0]  # [G*Npad, C]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * scale_ref[:].astype(jnp.float32) \
+        + lnb_ref[:].astype(jnp.float32)
+
+    attn_window = _make_attn_window(
+        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
+        Np=Npad, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
+
+    if G <= 2:
+        # static loop: constant 8-aligned row offsets (Npad % 8 == 0)
+        for w in range(G):
+            xw = ln[w * Npad:(w + 1) * Npad].astype(dt)
+            mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
+                      else None)
+            out = attn_window(xw, mask_w)
+            res = x[w * Npad:(w + 1) * Npad]
+            o_ref[0, w * Npad:(w + 1) * Npad, :] = \
+                out.astype(dt) + res.astype(dt)
+    else:
+        # rolled fori (full unrolls spill — PERF.md "v4" experiment);
+        # dynamic row offsets w*Npad are 8-aligned
+        ln_buf[:] = ln.astype(dt)
+
+        def win_body(w, _):
+            xw = ln_buf[pl.ds(w * Npad, Npad), :]
+            mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
+                      else None)
+            out = attn_window(xw, mask_w)
+            res = x_ref[0, pl.ds(w * Npad, Npad), :]
+            o_ref[0, pl.ds(w * Npad, Npad), :] = \
+                out.astype(dt) + res.astype(dt)
+            return 0
+
+        jax.lax.fori_loop(0, G, win_body, 0)
+
+    if with_mlp:
+        # LN2 + MLP + residual on the whole slab, row-chunked so the f32
+        # [rows, HD] GELU temps stay within scoped VMEM (see _block_kernel)
+        from lavender_tpu.ops.fused_mlp import _gelu_exact
+        M = G * Npad
+        HD = w1_ref.shape[1]
+        y = o_ref[0]
+        rows_c = max(8, ((2_500_000 // (HD * 4)) // 8) * 8)
+        parts = []
+        for r0 in range(0, M, rows_c):
+            yc = y[r0:min(M, r0 + rows_c)]
+            yf = yc.astype(jnp.float32)
+            mu2 = jnp.mean(yf, axis=-1, keepdims=True)
+            var2 = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
+                - jnp.square(mu2)
+            ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
+            ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
+                + n2b_ref[:].astype(jnp.float32)
+            hmid = jax.lax.dot_general(
+                ln2.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + b1_ref[:].astype(jnp.float32)
+            hmid = _gelu_exact(hmid, precise=(dt == jnp.float32))
+            o2 = jax.lax.dot_general(
+                hmid.astype(dt), w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                + b2_ref[:].astype(jnp.float32)
+            parts.append(yc + o2.astype(dt))
+        out2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        o_ref[0] = out2
+
+
+def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
+    """Windows per grid step: largest divisor of nW (<= 8) whose slab
+    stays <= ~512 KB, so the pipeline double-buffers comfortably."""
+    G = 1
+    for g in range(1, 9):
+        if nW % g == 0 and g * Npad * C * itemsize <= 524288:
+            G = g
+    return G
+
+
+def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
+                            wproj, bproj, bias, mask, nH: int,
+                            attn_scale: float, eps: float,
+                            mlp=None) -> Array:
+    """x: [B, nW, Npad, C] window-major.  Returns x + proj(attn(LN(x)))
+    (+ LN2/MLP/residual when ``mlp`` given).  ``bias``: [nH, Npad, Npad]
+    tail-padded (rel_pos_bias_wm), natural units; ``mask``: [nW, N, N]
+    additive or None."""
+    B, nW, Npad, C = x.shape
+    hd = C // nH
+
+    g_size = 1
+    for cand in (4, 2, 1):
+        if nH % cand == 0 and cand * hd <= 128:
+            g_size = cand
+            break
+    n_grp = nH // g_size
+    gw = g_size * hd
+    w3 = wqkv.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+    b3 = (bqkv.reshape(3, n_grp, 1, gw) if bqkv is not None
+          else jnp.zeros((3, n_grp, 1, gw), wqkv.dtype))
+    wp_h = wproj.reshape(n_grp, gw, C)
+
+    dt = x.dtype
+    bias_p = (bias.astype(jnp.float32) * _LOG2E).astype(dt)
+    assert bias_p.shape == (nH, Npad, Npad), bias_p.shape
+
+    G = _pick_wm_group(nW, Npad, C)
+    grid = (nW // G, B)  # batch fastest: mask re-fetched only on r change
+    x2 = x.reshape(B, nW * Npad, C)
+
+    with_mask = mask is not None
+    if with_mask:
+        N = mask.shape[-1]
+        m = (mask.astype(jnp.float32) * _LOG2E)
+        if Npad > N:
+            # pad keys are already -100 in the bias; pad rows are dead
+            m = jnp.pad(m, ((0, 0), (0, Npad - N), (0, Npad - N)))
+        m = m.astype(dt)
+        mask_spec = pl.BlockSpec((G, Npad, Npad), lambda r, b: (r, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        m = jnp.zeros((1, Npad, Npad), dt)
+        mask_spec = pl.BlockSpec((1, Npad, Npad), lambda r, b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda r, b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, G * Npad, C), lambda r, b: (b, r, 0),
+                     memory_space=pltpu.VMEM),
+        full((C,)), full((C,)),
+        full((n_grp, C, gw)), full((n_grp, C, gw)), full((n_grp, C, gw)),
+        full((3, n_grp, 1, gw)),
+        full((n_grp, gw, C)), full((C,)),
+        full((nH, Npad, Npad)),
+        mask_spec,
+    ]
+
+    with_mlp = mlp is not None
+    if with_mlp:
+        n2s, n2b, w1, b1m, w2, b2m = [a.astype(dt) for a in mlp]
+        HD = w1.shape[1]
+        in_specs += [full((C,)), full((C,)), full((C, HD)), full((HD,)),
+                     full((HD, C)), full((C,))]
+        mlp_args = (n2s, n2b, w1, b1m, w2, b2m)
+    else:
+        z = jnp.zeros((1,), dt)
+        zz = jnp.zeros((1, 1), dt)
+        in_specs += [full((1,)), full((1,)), full((1, 1)), full((1,)),
+                     full((1, 1)), full((1,))]
+        mlp_args = (z, z, zz, z, zz, z)
+
+    kernel = functools.partial(
+        _block_kernel_wm, G=G, Npad=Npad, C=C, nH=nH,
+        attn_scale=attn_scale * _LOG2E, eps=eps, with_mask=with_mask,
+        with_mlp=with_mlp)
+
+    flops_step = G * nH * (2 * Npad * C * hd * 3 + 4 * Npad * Npad * hd
+                           + 2 * Npad * hd * C)
+    if with_mlp:
+        flops_step += 4 * (G * Npad) * C * mlp[2].shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G * Npad, C), lambda r, b: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        scratch_shapes=[pltpu.VMEM((G * Npad, C), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=B * (nW // G) * flops_step,
+            bytes_accessed=2 * x2.size * x2.dtype.itemsize,
+            transcendentals=B * nW * nH * Npad * Npad),
+    )(x2, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
+      bias_p, m, *mlp_args)
+    return out.reshape(B, nW, Npad, C)
+
+
+def _wm_ref(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
+            spatial, window, nH, attn_scale, eps):
+    """Pure-JAX oracle of the wm block for the custom_vjp backward:
+    reverse to spatial -> reference block (mask applied per window,
+    shift already materialized by the caller's wm_shift) -> partition
+    back; pad rows pass through IDENTICALLY (their forward garbage is
+    dead — no valid output reads them — so the identity's zero-grad
+    contribution is exact)."""
+    D, H, W = spatial
+    B, nW, Npad, C = x_wm.shape
+    N = int(np.prod(window))
+    xs = wm_reverse(x_wm, window, D, H, W)
+    bias_v = bias[:, :N, :N]
+    ys = swin_block_attn_reference(
+        xs, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias_v,
+        window, (0, 0, 0), nH, attn_scale, eps, shift_mask=None,
+        window_mask=mask)
+    y = wm_partition(ys, window, N)
+    if Npad > N:
+        y = jnp.concatenate([y, x_wm[:, :, N:]], axis=2)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+def fused_swin_block_wm(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        bias, mask, spatial, window, nH, attn_scale, eps):
+    """Window-major x + proj(window_attn(LN(x))) (see module notes).
+
+    x: [B, nW, Npad, C]; bias: [nH, Npad, Npad] (rel_pos_bias_wm);
+    mask: [nW, N, N] additive (already-shifted windows) or None;
+    spatial/window static for the backward reference."""
+    return _fused_block_forward_wm(x, ln_scale, ln_bias, wqkv, bqkv,
+                                   wproj, bproj, bias, mask, nH,
+                                   attn_scale, eps)
+
+
+def _wm_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
+            spatial, window, nH, attn_scale, eps):
+    out = _fused_block_forward_wm(x, ln_scale, ln_bias, wqkv, bqkv,
+                                  wproj, bproj, bias, mask, nH,
+                                  attn_scale, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask)
+
+
+def _wm_bwd(spatial, window, nH, attn_scale, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _wm_ref(*a, spatial, window, nH, attn_scale, eps),
+        *res)
+    return vjp(g)
+
+
+fused_swin_block_wm.defvjp(_wm_fwd, _wm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
+def fused_swin_block_wm_full(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                             bproj, bias, mask, n2_scale, n2_bias, w1, b1,
+                             w2, b2, spatial, window, nH, attn_scale, eps):
+    """Whole wm Swin block in one pallas_call (attention + LN2 + MLP +
+    both residuals).  Use when full_block_fits_vmem."""
+    return _fused_block_forward_wm(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, nH,
+        attn_scale, eps, mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
+
+
+def _wm_full_ref(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask, n2_scale, n2_bias, w1, b1, w2, b2, spatial, window,
+                 nH, attn_scale, eps):
+    from lavender_tpu.ops.fused_mlp import ln_mlp_reference
+    y = _wm_ref(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                mask, spatial, window, nH, attn_scale, eps)
+    C = y.shape[-1]
+    flat = y.reshape(-1, C)
+    out = flat + ln_mlp_reference(
+        flat, n2_scale, n2_bias, w1, b1, w2, b2, eps).astype(y.dtype)
+    return out.reshape(y.shape)
+
+
+def _wm_full_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask, n2_scale, n2_bias, w1, b1, w2, b2, spatial, window,
+                 nH, attn_scale, eps):
+    out = _fused_block_forward_wm(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, nH,
+        attn_scale, eps, mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask, n2_scale, n2_bias, w1, b1, w2, b2)
+
+
+def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _wm_full_ref(*a, spatial, window, nH, attn_scale, eps),
+        *res)
+    return vjp(g)
+
+
+fused_swin_block_wm_full.defvjp(_wm_full_fwd, _wm_full_bwd)

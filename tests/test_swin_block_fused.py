@@ -230,3 +230,91 @@ def test_train_drop_path_fused_matches_xla_with_grads():
                 atol=5e-4, rtol=5e-3, err_msg=f"{shift} {key}")
             checked += 1
         assert checked >= 10  # ln1/2, qkv, proj, bias table, mlp
+
+
+def test_backbone_wm_equals_xla():
+    """attn_impl='wm' (window-major stages) == 'xla' through the whole
+    backbone, shifted blocks included, with an interchangeable param
+    tree (both scanned)."""
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg_x = SwinConfig(attn_impl="xla", **common)
+    cfg_w = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
+    mx = VideoSwin3D(cfg_x)
+    params = mx.init(jax.random.PRNGKey(0), x)
+    want = mx.apply(params, x)
+    mw = VideoSwin3D(cfg_w)
+    with pltpu.force_tpu_interpret_mode():
+        pw = mw.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(pw))
+        got = mw.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_backbone_wm_gradients_match_xla():
+    """Parameter gradients through the wm custom_vjp (reference recompute
+    composed with the wm relayouts; pad rows pass through as identity) ==
+    the XLA module path's gradients."""
+    common = dict(embed_dim=8, depths=(2,), num_heads=(2,),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    g = np.random.RandomState(3)
+    x = jnp.asarray(g.randn(1, 2, 28, 28, 3).astype(np.float32))
+    mx = VideoSwin3D(SwinConfig(attn_impl="xla", **common))
+    params = mx.init(jax.random.PRNGKey(0), x)
+
+    def loss_x(p):
+        return jnp.sum(mx.apply(p, x) ** 2)
+
+    want = jax.grad(loss_x)(params)
+    mw = VideoSwin3D(SwinConfig(attn_impl="wm", **common))
+
+    def loss_w(p):
+        return jnp.sum(mw.apply(p, x) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_w)(params)
+    flat_w, _ = jax.tree_util.tree_flatten(got)
+    flat_x, _ = jax.tree_util.tree_flatten(want)
+    for a, b in zip(flat_w, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
+
+
+def test_train_drop_path_wm_matches_xla_with_grads():
+    """drop_path-active training through the wm kernels (stochastic-depth
+    -as-lerp): outputs and parameter gradients match the XLA path exactly
+    under one shared dropout seed."""
+    common = dict(embed_dim=8, depths=(2,), num_heads=(2,),
+                  window_size=(8, 7, 7), drop_path_rate=0.1,
+                  scan_blocks=True)
+    g = np.random.RandomState(4)
+    x = jnp.asarray(g.randn(2, 2, 28, 28, 3).astype(np.float32))
+    mx = VideoSwin3D(SwinConfig(attn_impl="xla", **common))
+    params = mx.init(jax.random.PRNGKey(0), x)
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+
+    def loss_x(p):
+        return jnp.sum(mx.apply(p, x, deterministic=False,
+                                rngs=rngs) ** 2)
+
+    want_l, want_g = jax.value_and_grad(loss_x)(params)
+    mw = VideoSwin3D(SwinConfig(attn_impl="wm", **common))
+
+    def loss_w(p):
+        return jnp.sum(mw.apply(p, x, deterministic=False,
+                                rngs=rngs) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_g = jax.value_and_grad(loss_w)(params)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    flat_w, _ = jax.tree_util.tree_flatten(got_g)
+    flat_x, _ = jax.tree_util.tree_flatten(want_g)
+    for a, b in zip(flat_w, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
