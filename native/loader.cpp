@@ -112,13 +112,20 @@ bool jpeg_decode(const uint8_t* data, long size, uint8_t** out, int* w, int* h) 
 
 // ---------- resize (bilinear, uint8 RGB) ----------
 
-// PIL-compatible separable triangle-filter resampling (Image.BILINEAR):
-// when downscaling the filter support widens to the scale factor
-// (antialiasing), matching Pillow's ImagingResample.
+// BIT-EXACT Pillow Image.BILINEAR resampling (Resample.c): triangle filter
+// whose support widens to the scale factor when downscaling, coefficients
+// quantized to int32 at PRECISION_BITS, horizontal-then-vertical passes
+// with the INTERMEDIATE clipped to uint8 per pass (exactly like Pillow's
+// ImagingResampleHorizontal_8bpc / Vertical_8bpc).  The Python data path
+// (transforms.resize_shorter) is PIL, so exactness here makes the native
+// plane frame-for-frame identical to it (asserted by test_e2e_parity /
+// test_native).
+static const int PRECISION_BITS = 32 - 8 - 2;
+
 struct FilterWeights {
-  std::vector<int> bounds;     // [out] first source index
-  std::vector<int> counts;     // [out] number of taps
-  std::vector<float> weights;  // [out * max_taps]
+  std::vector<int> bounds;    // [out] first source index
+  std::vector<int> counts;    // [out] number of taps
+  std::vector<int> weights;   // [out * max_taps] fixed-point coeffs
   int max_taps = 0;
 };
 
@@ -131,7 +138,8 @@ FilterWeights triangle_weights(int in_size, int out_size) {
   fw.max_taps = max_taps;
   fw.bounds.resize(out_size);
   fw.counts.resize(out_size);
-  fw.weights.assign((size_t)out_size * max_taps, 0.f);
+  fw.weights.assign((size_t)out_size * max_taps, 0);
+  std::vector<double> wbuf(max_taps);
   for (int i = 0; i < out_size; i++) {
     double center = (i + 0.5) * scale;
     int xmin = (int)(center - support + 0.5);
@@ -143,12 +151,15 @@ FilterWeights triangle_weights(int in_size, int out_size) {
       double w = (j + 0.5 - center) / filterscale;
       w = w < 0 ? 1.0 + w : 1.0 - w;  // triangle
       if (w < 0) w = 0;
-      fw.weights[(size_t)i * max_taps + (j - xmin)] = (float)w;
+      wbuf[j - xmin] = w;
       sum += w;
     }
-    if (sum > 0) {
-      for (int j = 0; j < xmax - xmin; j++)
-        fw.weights[(size_t)i * max_taps + j] /= (float)sum;
+    for (int j = 0; j < xmax - xmin; j++) {
+      double v = sum > 0 ? wbuf[j] / sum : wbuf[j];
+      // Pillow normalize_coeffs_8bpc rounding
+      v *= (double)(1 << PRECISION_BITS);
+      fw.weights[(size_t)i * max_taps + j] =
+          v < 0 ? (int)(v - 0.5) : (int)(v + 0.5);
     }
     fw.bounds[i] = xmin;
     fw.counts[i] = xmax - xmin;
@@ -156,48 +167,62 @@ FilterWeights triangle_weights(int in_size, int out_size) {
   return fw;
 }
 
+static inline uint8_t clip8(int64_t ss) {
+  ss >>= PRECISION_BITS;
+  return (uint8_t)(ss < 0 ? 0 : (ss > 255 ? 255 : ss));
+}
+
 void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
                      int dh) {
   FilterWeights fx = triangle_weights(sw, dw);
   FilterWeights fy = triangle_weights(sh, dh);
-  // horizontal pass -> float temp [sh, dw, 3]
-  std::vector<float> tmp((size_t)sh * dw * 3);
+  const int64_t half = 1LL << (PRECISION_BITS - 1);
+  // horizontal pass -> uint8 temp [sh, dw, 3] (Pillow clips per pass)
+  std::vector<uint8_t> tmp((size_t)sh * dw * 3);
   for (int y = 0; y < sh; y++) {
     const uint8_t* row = src + (size_t)y * sw * 3;
     for (int x = 0; x < dw; x++) {
-      const float* w = &fx.weights[(size_t)x * fx.max_taps];
+      const int* w = &fx.weights[(size_t)x * fx.max_taps];
       int x0 = fx.bounds[x], n = fx.counts[x];
-      float acc0 = 0, acc1 = 0, acc2 = 0;
+      int64_t acc0 = half, acc1 = half, acc2 = half;
       for (int j = 0; j < n; j++) {
         const uint8_t* p = row + (size_t)(x0 + j) * 3;
-        acc0 += w[j] * p[0];
-        acc1 += w[j] * p[1];
-        acc2 += w[j] * p[2];
+        acc0 += (int64_t)w[j] * p[0];
+        acc1 += (int64_t)w[j] * p[1];
+        acc2 += (int64_t)w[j] * p[2];
       }
-      float* o = &tmp[((size_t)y * dw + x) * 3];
-      o[0] = acc0; o[1] = acc1; o[2] = acc2;
+      uint8_t* o = &tmp[((size_t)y * dw + x) * 3];
+      o[0] = clip8(acc0); o[1] = clip8(acc1); o[2] = clip8(acc2);
     }
   }
-  // vertical pass -> uint8 out
+  // vertical pass on the clipped intermediate -> uint8 out
   for (int y = 0; y < dh; y++) {
-    const float* w = &fy.weights[(size_t)y * fy.max_taps];
+    const int* w = &fy.weights[(size_t)y * fy.max_taps];
     int y0 = fy.bounds[y], n = fy.counts[y];
     for (int x = 0; x < dw; x++) {
-      float acc0 = 0, acc1 = 0, acc2 = 0;
+      int64_t acc0 = half, acc1 = half, acc2 = half;
       for (int j = 0; j < n; j++) {
-        const float* p = &tmp[((size_t)(y0 + j) * dw + x) * 3];
-        acc0 += w[j] * p[0];
-        acc1 += w[j] * p[1];
-        acc2 += w[j] * p[2];
+        const uint8_t* p = &tmp[((size_t)(y0 + j) * dw + x) * 3];
+        acc0 += (int64_t)w[j] * p[0];
+        acc1 += (int64_t)w[j] * p[1];
+        acc2 += (int64_t)w[j] * p[2];
       }
       uint8_t* o = dst + ((size_t)y * dw + x) * 3;
-      auto clamp8 = [](float v) {
-        int iv = (int)(v + 0.5f);
-        return (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
-      };
-      o[0] = clamp8(acc0); o[1] = clamp8(acc1); o[2] = clamp8(acc2);
+      o[0] = clip8(acc0); o[1] = clip8(acc1); o[2] = clip8(acc2);
     }
   }
+}
+
+// Python round() parity (round-half-even): round(num/den), num>=0, den>0.
+// transforms.resize_shorter uses int(round(size*w/h)) and center_crop uses
+// int(round((d)/2.0)) — both are banker's rounding, NOT round-half-up
+// ((d+1)/2 was a real 1-pixel crop shift for d % 4 == 1, caught by
+// test_e2e_parity once the native plane went default-on).
+static long round_half_even_div(long num, long den) {
+  long q = num / den, r = num % den;
+  if (2 * r > den) return q + 1;
+  if (2 * r < den) return q;
+  return (q % 2 == 0) ? q : q + 1;
 }
 
 // resize shorter side to `size`, then crop to size x size
@@ -207,27 +232,36 @@ bool frame_to_square(const uint8_t* rgb, int w, int h, int size, int crop_mode,
   int nw, nh;
   if (h <= w) {
     nh = size;
-    nw = (int)((float)size * w / h + 0.5f);
-    if (nw < size) nw = size;
+    nw = (int)round_half_even_div(2L * size * w, 2L * h);
+    if (nw < 1) nw = 1;
   } else {
     nw = size;
-    nh = (int)((float)size * h / w + 0.5f);
-    if (nh < size) nh = size;
+    nh = (int)round_half_even_div(2L * size * h, 2L * w);
+    if (nh < 1) nh = 1;
   }
-  std::vector<uint8_t> tmp((size_t)nw * nh * 3);
-  resize_bilinear(rgb, w, h, tmp.data(), nw, nh);
+  std::vector<uint8_t> resized;
+  const uint8_t* rs;
+  if (nw == w && nh == h) {
+    rs = rgb;  // transforms.resize_shorter skips the no-op resize
+  } else {
+    resized.resize((size_t)nw * nh * 3);
+    resize_bilinear(rgb, w, h, resized.data(), nw, nh);
+    rs = resized.data();
+  }
   int max_top = nh - size, max_left = nw - size;
+  if (max_top < 0) max_top = 0;
+  if (max_left < 0) max_left = 0;
   int top, left;
   if (crop_mode == 1) {
     top = max_top > 0 ? (int)(rng % (uint32_t)(max_top + 1)) : 0;
     left = max_left > 0 ? (int)((rng >> 16) % (uint32_t)(max_left + 1)) : 0;
   } else {
-    top = (max_top + 1) / 2;  // round((nh - size)/2)
-    left = (max_left + 1) / 2;
+    top = (int)round_half_even_div(2L * max_top, 4L);   // round(d/2.0)
+    left = (int)round_half_even_div(2L * max_left, 4L);
   }
   for (int y = 0; y < size; y++) {
     memcpy(out + (size_t)y * size * 3,
-           tmp.data() + ((size_t)(y + top) * nw + left) * 3,
+           rs + ((size_t)(y + top) * nw + left) * 3,
            (size_t)size * 3);
   }
   return true;
