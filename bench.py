@@ -29,7 +29,7 @@ def main():
                     help="timed repetitions; report the fastest (the host "
                          "fetch rides a relay whose RTT varies tens of ms)")
     ap.add_argument("--cpu", action="store_true", help="debug on CPU")
-    ap.add_argument("--attn", default="fused",
+    ap.add_argument("--attn", default="wm",
                     choices=["xla", "pallas", "fused", "wm"],
                     help="window-attention implementation (wm = fused "
                          "kernels on window-major stage layout)")

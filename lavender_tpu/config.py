@@ -32,15 +32,17 @@ class SwinConfig:
     drop_path_rate: float = 0.2
     patch_norm: bool = True
     layer_norm_eps: float = 1e-5
-    # window-attention implementation: "xla" (einsum) or "pallas" (fused
-    # VMEM kernel, lavender_tpu/ops/window_attention.py)
-    attn_impl: str = "xla"
+    # window-attention implementation: "auto" (window-major fused Pallas
+    # kernels on TPU, XLA einsum elsewhere — see swin3d.resolve_attn_impl),
+    # or explicit "xla" | "pallas" | "fused" | "wm"
+    attn_impl: str = "auto"
     # rematerialize each block in backward (the reference's use_checkpoint /
     # torch gradient checkpointing, video_swin.py:250-258)
     remat: bool = False
     # lax.scan over weight-stacked (no-shift, shift) block pairs per stage:
-    # ~depth/2x smaller XLA program (compile time), same math
-    scan_blocks: bool = False
+    # ~depth/2x smaller XLA program (compile time), same math.  DEFAULT ON:
+    # .pt imports are converted via convert.swin_to_scan_layout
+    scan_blocks: bool = True
 
     @property
     def num_features(self) -> int:
@@ -82,16 +84,17 @@ class BertConfig:
     # without it — on HBM-bound chips recompute is cheaper than the traffic
     # (the reference's fairscale checkpoint_wrapper analog, model.py:167-169)
     remat: bool = False
-    # serving: fuse fc1+gelu+fc2+residual+post-LN into one Pallas kernel
-    # (bf16 deterministic forward only; training uses the module path)
-    fused_ffn: bool = False
+    # serving: fuse fc1+gelu+fc2+residual+post-LN into one Pallas kernel.
+    # DEFAULT ON — the gate in bert.py only takes it for bf16 deterministic
+    # forwards on a TPU backend; training/CPU use the module path
+    fused_ffn: bool = True
     # serving: self-attention via ops/encoder_attention.py (scores kept in
     # VMEM, minimum-VPU-pass softmax).  With the stable-softmax kernel it
     # measured slower than XLA in the full program (276.9 vs 283.8); after
     # dropping the max-subtraction it wins (336.7 vs 327.7) — see PERF.md.
-    # Enabled by bench.py/the flagship entry; off for training (the module
-    # path has dropout + XLA's fused bwd).
-    fused_attn: bool = False
+    # DEFAULT ON (same bf16+deterministic+TPU gate as fused_ffn); training
+    # keeps the module path (dropout + XLA's fused bwd).
+    fused_attn: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -224,6 +224,36 @@ def lavender_to_scan_layout(params: Dict, depths) -> Dict:
     return out
 
 
+def match_scan_layout(loaded: Dict, init_params: Dict) -> Dict:
+    """Restack a per-block converted ``.pt`` tree to scan layout wherever
+    the target (init) tree uses it.
+
+    With ``SwinConfig.scan_blocks`` default-on, init trees carry
+    ``layers_i/blocks_scan/{a,b}`` while ``convert_lavender_checkpoint``
+    emits per-block ``layers_i/blocks_k`` — ``merge_params`` would silently
+    keep every swin block at init.  Depths are inferred from the loaded
+    per-block keys; stages whose init layer has no ``blocks_scan`` (odd
+    depth: the model unrolls them) are left per-block."""
+    init_swin = init_params.get("enc_img", {}).get("swin")
+    loaded_swin = loaded.get("enc_img", {}).get("swin")
+    if not isinstance(init_swin, dict) or not isinstance(loaded_swin, dict):
+        return loaded
+    depths = []
+    i = 0
+    while f"layers_{i}" in init_swin:
+        layer = loaded_swin.get(f"layers_{i}")
+        if ("blocks_scan" in init_swin[f"layers_{i}"]
+                and isinstance(layer, dict)):
+            n = 0
+            while f"blocks_{n}" in layer:
+                n += 1
+            depths.append(n)
+        else:
+            depths.append(1)  # swin_to_scan_layout skips odd depths
+        i += 1
+    return lavender_to_scan_layout(loaded, depths)
+
+
 def _cubic_weights(t: np.ndarray, a: float = -0.75):
     """Per-sample 4-tap cubic convolution weights (torch bicubic, A=-0.75)."""
     def conv1(x):

@@ -101,6 +101,7 @@ class BertSelfAttention(nn.Module):
         cfg = self.config
         if (getattr(cfg, "fused_attn", False) and deterministic
                 and q.dtype == jnp.bfloat16 and q.shape[2] == k.shape[2]
+                and jax.default_backend() == "tpu"
                 and not self.is_initializing()):
             # serving path: keep the [B, nH, L, L] scores in VMEM — the XLA
             # path round-trips them through HBM around the softmax (the
@@ -211,7 +212,9 @@ class BertLayer(nn.Module):
     def _ffn(self, x: Array, deterministic: bool) -> Array:
         cfg = self.config
         if (getattr(cfg, "fused_ffn", False) and deterministic
-                and x.dtype == jnp.bfloat16 and not self.is_initializing()):
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()):
             # fused fc1+gelu+fc2+residual+post-LN (serving path) on the
             # SAME params as the module path
             from lavender_tpu.ops.fused_mlp import fused_ffn_post_ln

@@ -164,6 +164,17 @@ def compute_shift_mask_jnp(D: int, H: int, W: int,
     return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """'auto' -> the fastest supported implementation for the current
+    backend: the window-major fused kernels on TPU (which themselves fall
+    back per-stage to the spatial fused kernels, and those to XLA, when a
+    geometry is unsupported), the XLA einsum path elsewhere (Mosaic
+    kernels only lower on TPU)."""
+    if impl != "auto":
+        return impl
+    return "wm" if jax.default_backend() == "tpu" else "xla"
+
+
 def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
     """Stochastic depth per sample (video_swin.py:46-54).
 
@@ -743,7 +754,8 @@ class BasicLayer(nn.Module):
             _round8, supports_fused_block, wm_partition, wm_reverse)
         B, D, H, W, _ = x.shape
         window_eff, _ = get_window_size((D, H, W), self.window_size, shift)
-        wm_ok = (self.attn_impl == "wm" and self.qkv_bias
+        impl = resolve_attn_impl(self.attn_impl)
+        wm_ok = (impl == "wm" and self.qkv_bias
                  and not self.remat
                  and supports_fused_block(D, H, W, window_eff)
                  and self.scan_blocks and self.depth % 2 == 0
@@ -773,7 +785,7 @@ class BasicLayer(nn.Module):
                                  layer_norm_eps=self.layer_norm_eps,
                                  dtype=self.dtype, name="downsample")(x)
             return x
-        attn_impl = "fused" if self.attn_impl == "wm" else self.attn_impl
+        attn_impl = "fused" if impl == "wm" else impl
         if self.scan_blocks and self.depth % 2 == 0 and self.depth >= 2:
             n_pairs = self.depth // 2
             dpr = self.drop_path_rates or (0.0,) * self.depth

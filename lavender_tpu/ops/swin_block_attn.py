@@ -719,7 +719,7 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
         wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
         Np=Npad, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
 
-    if G <= 2:
+    if G <= 4:
         # static loop: constant 8-aligned row offsets (Npad % 8 == 0)
         for w in range(G):
             xw = ln[w * Npad:(w + 1) * Npad].astype(dt)
@@ -782,7 +782,7 @@ def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
     """Windows per grid step: largest divisor of nW (<= 8) whose slab
     stays <= ~512 KB, so the pipeline double-buffers comfortably."""
     G = 1
-    for g in range(1, 9):
+    for g in range(1, 5):
         if nW % g == 0 and g * Npad * C * itemsize <= 524288:
             G = g
     return G

@@ -95,12 +95,15 @@ def load_reference_checkpoint(pt_path: str, init_params,
     of LAVENDER_Base.load_ckpt/__load_ckpt__ (model.py:352-429).
     """
     from lavender_tpu.convert import (
-        convert_lavender_checkpoint, load_torch_checkpoint, merge_params,
-        remap_swinbert_keys)
+        convert_lavender_checkpoint, load_torch_checkpoint, match_scan_layout,
+        merge_params, remap_swinbert_keys)
     sd = load_torch_checkpoint(pt_path)
     import os.path as _op
     if "swinbert" in _op.basename(pt_path).lower():
         sd = remap_swinbert_keys(sd)  # model.py:364-366 filename dispatch
     loaded = convert_lavender_checkpoint(
         sd, max_size_frame=max_size_frame, max_size_patch=max_size_patch)
+    # scan_blocks default-on: restack per-block swin params to the init
+    # tree's scan layout (merge_params would otherwise silently skip them)
+    loaded = match_scan_layout(loaded, init_params)
     return merge_params(init_params, loaded)

@@ -226,6 +226,32 @@ def test_swinbert_key_remap():
     assert "unrelated.thing" not in out
 
 
+def test_match_scan_layout_pt_import():
+    """A per-block converted .pt tree loads correctly into a scan-layout
+    (default) model: match_scan_layout restacks, merge_params overlays, and
+    the scan model reproduces the per-block model's forward."""
+    import dataclasses
+    from lavender_tpu.convert import match_scan_layout, merge_params
+    from lavender_tpu.models.swin3d import VideoSwin3D
+    cfg = SwinConfig(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=False)
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        1, 2, 14, 14, 3).astype(np.float32))
+    m_pb = VideoSwin3D(cfg)
+    v_pb = m_pb.init(jax.random.PRNGKey(1), x)
+    m_scan = VideoSwin3D(dataclasses.replace(cfg, scan_blocks=True))
+    v_scan = m_scan.init(jax.random.PRNGKey(2), x)
+    # wrap both as full LAVENDER trees (match_scan_layout keys on enc_img)
+    init = {"enc_img": {"swin": v_scan["params"]}}
+    loaded = {"enc_img": {"swin": v_pb["params"]}}
+    merged = merge_params(init, match_scan_layout(loaded, init))
+    y_pb = m_pb.apply(v_pb, x)
+    y_scan = m_scan.apply({"params": merged["enc_img"]["swin"]}, x)
+    np.testing.assert_allclose(np.asarray(y_scan), np.asarray(y_pb),
+                               atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.skipif(not op.isdir("/root/reference/_args"),
                     reason="reference configs not mounted")
 def test_reference_arg_configs_parse():

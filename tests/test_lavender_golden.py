@@ -25,7 +25,8 @@ BERT = BertConfig(vocab_size=120, hidden_size=32, num_hidden_layers=2,
                   max_position_embeddings=64, hidden_dropout_prob=0.0,
                   attention_probs_dropout_prob=0.0)
 SWIN = SwinConfig(embed_dim=8, depths=(1, 2, 1, 1), num_heads=(1, 2, 4, 8),
-                  window_size=(8, 7, 7), drop_path_rate=0.0)
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=False)
 
 
 class _Args(dict):

@@ -23,7 +23,7 @@ video_swin = import_reference_video_swin()
 def _tiny_cfg():
     return SwinConfig(
         embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=(8, 7, 7),
-        drop_path_rate=0.0)
+        drop_path_rate=0.0, scan_blocks=False)
 
 
 def _make_pair(cfg: SwinConfig, seed=0):
@@ -96,20 +96,23 @@ def test_swin_golden_T5_224_like():
     # T=5 (the finetune size_frame), smaller spatial for speed: exercises
     # temporal window shrink 8->5 and shift drop.
     cfg = SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
-                     window_size=(8, 7, 7), drop_path_rate=0.0)
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=False)
     _compare(cfg, B=2, T=5, H=56, W=56)
 
 
 def test_swin_golden_4stages():
     cfg = SwinConfig(embed_dim=8, depths=(2, 2, 2, 2), num_heads=(1, 2, 4, 8),
-                     window_size=(8, 7, 7), drop_path_rate=0.0)
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=False)
     _compare(cfg, B=1, T=2, H=112, W=112, tol=5e-4)
 
 
 def test_swin_golden_odd_spatial_padding():
     # Non-multiple-of-7 spatial dims exercise the window padding path.
     cfg = SwinConfig(embed_dim=8, depths=(2,), num_heads=(2,),
-                     window_size=(8, 7, 7), drop_path_rate=0.0)
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=False)
     _compare(cfg, B=1, T=2, H=40, W=40)
 
 
@@ -147,7 +150,8 @@ def test_swin_scan_matches_unrolled_gradients():
     import dataclasses
     from lavender_tpu.convert import swin_to_scan_layout
     cfg = SwinConfig(embed_dim=8, depths=(4,), num_heads=(2,),
-                     window_size=(8, 7, 7), drop_path_rate=0.0)
+                     window_size=(8, 7, 7), drop_path_rate=0.0,
+                     scan_blocks=False)
     m_unroll = swin3d.VideoSwin3D(cfg)
     m_scan = swin3d.VideoSwin3D(dataclasses.replace(cfg, scan_blocks=True))
     rng = np.random.RandomState(5)
