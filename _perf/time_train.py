@@ -1,0 +1,212 @@
+"""Train-step decomposition on the real TPU (bench.py --train workload).
+
+Times the retrieval-MLM train step (B x B pairs, fwd+bwd+AdamW) and its
+pieces with the scan-chained single-fetch methodology of
+time_components.py, so the step's ~360 ms is attributed before any kernel
+work: Swin fwd+bwd vs fusion-stack fwd+bwd on the B^2 pairs vs the MLM
+head vs the optimizer update.
+
+Usage: python _perf/time_train.py [--batch 8] [--iters 10] [--attn wm]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attn", default="wm")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--drop-path", type=float, default=0.1)
+    ap.add_argument("--parts", default="step,fwd,swin,fusion,opt")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lavender_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import dataclasses
+    from lavender_tpu.config import (BertConfig, ModelConfig, SWIN_PRESETS,
+                                     TrainConfig)
+    from lavender_tpu.data.transforms import device_normalize
+    from lavender_tpu.models.lavender import LavenderModel
+    from lavender_tpu.tasks import retrieval
+    from lavender_tpu.train import optimizer as opt_lib
+    from lavender_tpu.train import trainer
+
+    swin = dataclasses.replace(SWIN_PRESETS["base"], attn_impl=args.attn,
+                               scan_blocks=True,
+                               drop_path_rate=args.drop_path)
+    bert = BertConfig(fused_ffn=True, fused_attn=True)
+    cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
+    model = LavenderModel(cfg, dtype=jnp.bfloat16)
+
+    B, T, S = args.batch, 5, 224
+    L = 31
+    iters = args.iters
+    rng = np.random.RandomState(0)
+    img_u8 = jnp.asarray(rng.randint(0, 255, (B, T, S, S, 3), np.uint8))
+    txt = jnp.asarray(
+        rng.randint(1, bert.vocab_size, (B, L)).astype(np.int32))
+    mask = jnp.ones((B, L), jnp.int32)
+    img0 = device_normalize(img_u8, dtype=jnp.bfloat16)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0[:1],
+                                    txt[:1], mask[:1])
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, variables)
+    params = variables["params"]
+
+    tcfg = TrainConfig(max_iter=1000, max_grad_norm=1.0)
+    tx = opt_lib.build_optimizer(params, tcfg)
+    state = trainer.create_train_state(params, tx, seed=0)
+    loss_fn = retrieval.make_loss_fn(model, true_id=2081, false_id=6270)
+    vid = jnp.arange(B, dtype=jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    def scan_time(fn, *inputs, label=""):
+        @jax.jit
+        def run(*inputs):
+            def body(c, _):
+                return fn(*inputs, carry=c), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=iters)
+            return c
+
+        t0 = time.perf_counter()
+        float(run(*inputs))
+        compile_t = time.perf_counter() - t0
+        float(run(*inputs))  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(*inputs))
+            best = min(best, time.perf_counter() - t0)
+        dt = best / iters
+        clips = B / dt
+        print(f"{label:44s} {dt * 1e3:9.2f} ms/iter  ({clips:6.1f} clips/s)"
+              f"  (compile {compile_t:.0f}s)", flush=True)
+        return dt
+
+    parts = args.parts.split(",")
+
+    def batch_of(c):
+        img = device_normalize(img_u8, dtype=jnp.bfloat16)
+        img = img + c.astype(jnp.bfloat16)
+        return {"img": img, "txt": txt, "mask": mask, "vid": vid}
+
+    if "step" in parts:
+        import optax
+
+        def full_step(state, carry):
+            batch = batch_of(carry)
+            rng_d, _ = jax.random.split(state.rng)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, rng_d)
+            updates, _ = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            # fold the new params into the carry so nothing is DCE'd
+            leaf = jax.tree_util.tree_leaves(new_params)[0]
+            return loss + leaf.astype(jnp.float32).mean()
+        scan_time(full_step, state, label="FULL train step (fwd+bwd+AdamW)")
+
+    if "fwd" in parts:
+        def fwd_only(params, carry):
+            batch = batch_of(carry)
+            return loss_fn(params, batch, key)
+        scan_time(fwd_only, state.params, label="loss forward only")
+
+        def fwd_bwd(params, carry):
+            batch = batch_of(carry)
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+            leaf = jax.tree_util.tree_leaves(grads)[0]
+            return loss + leaf.astype(jnp.float32).mean()
+        scan_time(fwd_bwd, state.params, label="loss fwd+bwd (no optimizer)")
+
+    if "swin" in parts:
+        # go_feat alone (Swin on B clips + text embed), fwd and fwd+bwd
+        def feat_fwd(params, carry):
+            img = device_normalize(img_u8, dtype=jnp.bfloat16)
+            img = img + carry.astype(jnp.bfloat16)
+            fi, mi, ft, mt = model.apply(
+                {"params": params}, img, txt, mask, deterministic=False,
+                method=LavenderModel.go_feat, rngs={"dropout": key})
+            return fi.astype(jnp.float32).mean()
+        scan_time(feat_fwd, state.params, label="go_feat fwd (Swin B clips)")
+
+        def feat_loss(params, carry):
+            img = device_normalize(img_u8, dtype=jnp.bfloat16)
+            img = img + carry.astype(jnp.bfloat16)
+            fi, mi, ft, mt = model.apply(
+                {"params": params}, img, txt, mask, deterministic=False,
+                method=LavenderModel.go_feat, rngs={"dropout": key})
+            return fi.astype(jnp.float32).mean()
+
+        def feat_bwd(params, carry):
+            loss, grads = jax.value_and_grad(feat_loss)(params, carry)
+            leaf = jax.tree_util.tree_leaves(grads)[0]
+            return loss + leaf.astype(jnp.float32).mean()
+        scan_time(feat_bwd, state.params, label="go_feat fwd+bwd")
+
+    if "fusion" in parts:
+        # the cross stage on the B^2 pairs, isolated: precompute feats
+        fi, mi, ft, mt = model.apply(
+            variables, img0, txt, mask, deterministic=True,
+            method=LavenderModel.go_feat)
+        b = B
+        pfi = jnp.repeat(fi, b, axis=0)
+        pmi = jnp.repeat(mi, b, axis=0)
+        pft = jnp.tile(ft, (b, 1, 1))
+        pmt = jnp.tile(mt, (b, 1))
+        Lv = fi.shape[1]
+
+        def cross_loss(params, pfi, carry):
+            pfi = pfi + carry.astype(pfi.dtype)
+            out = model.apply(
+                {"params": params}, pfi, pmi, pft, pmt,
+                deterministic=False, method=LavenderModel.go_cross,
+                rngs={"dropout": key})
+            logits = model.apply(
+                {"params": params}, out[:, Lv:],
+                method=LavenderModel.mlm_logits)
+            return logits[:, -1, :].astype(jnp.float32).mean()
+
+        def cross_fwd(params, pfi, carry):
+            return cross_loss(params, pfi, carry)
+        scan_time(cross_fwd, state.params, pfi,
+                  label=f"go_cross+head fwd ({B * b} pairs)")
+
+        def cross_bwd(params, pfi, carry):
+            loss, grads = jax.value_and_grad(cross_loss)(params, pfi, carry)
+            leaf = jax.tree_util.tree_leaves(grads)[0]
+            return loss + leaf.astype(jnp.float32).mean()
+        scan_time(cross_bwd, state.params, pfi,
+                  label=f"go_cross+head fwd+bwd ({B * b} pairs)")
+
+    if "opt" in parts:
+        import optax
+        grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def opt_only(state, grads, carry):
+            g = jax.tree_util.tree_map(
+                lambda x: x + carry.astype(x.dtype), grads)
+            updates, _ = tx.update(g, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            leaf = jax.tree_util.tree_leaves(new_params)[0]
+            return leaf.astype(jnp.float32).mean()
+        scan_time(opt_only, state, grads, label="AdamW update alone")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,7 +126,10 @@ def _pair_score(model, variables, feat_img, mask_img, feat_txt, mask_txt,
         score = model.apply(variables, out[:, Lv], True,
                             method=lambda m, x, d: m.fc(x, deterministic=d))
         return score.astype(jnp.float32)[:, 0]
-    logits = model.apply(variables, out[:, Lv:],
+    # head on the final ([MASK]) position only: the position slice
+    # commutes with the head, and XLA does not DCE the unused positions
+    # of a full-sequence vocab projection (see pairwise_mlm_logits)
+    logits = model.apply(variables, out[:, -1:],
                          method=LavenderModel.mlm_head)
     last = logits[:, -1, :].astype(jnp.float32)
     p_true, p_false = last[:, true_id], last[:, false_id]

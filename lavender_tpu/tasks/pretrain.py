@@ -141,7 +141,9 @@ def pretrain_forward(model: LavenderModel, variables, img, txt, mask,
     out = model.apply(variables, pfi, pmi, pft, pmt,
                       deterministic=deterministic,
                       method=LavenderModel.go_cross, rngs=rngs)
-    out_vtm = model.apply(variables, out[:, Lv:],
+    # VTM only ever reads the appended-[MASK] (last) position: apply the
+    # head there alone (the slice commutes; XLA does not DCE the rest)
+    out_vtm = model.apply(variables, out[:, -1:],
                           method=LavenderModel.mlm_head)
     return out_mtm, out_vtm
 

@@ -76,7 +76,7 @@ class QAMCHeadDataset(RetMCDataset):
 
 def option_logits(model: LavenderModel, variables, img, txt, mask,
                   feat_pre=None, mask_pre=None,
-                  deterministic=True, rngs=None):
+                  deterministic=True, rngs=None, last_only=False):
     """img [B,T,S,S,3], txt/mask [B,O,L] -> logits [B*O, Lp+L, V].
 
     Mirrors LAVENDER_RetMC_MLM.forward (main_retmc_mlm.py:90-112): encode the
@@ -95,7 +95,8 @@ def option_logits(model: LavenderModel, variables, img, txt, mask,
     out = model.apply(
         variables, fi, mi, ft, mt, deterministic=deterministic,
         method=LavenderModel.go_cross, rngs=rngs)
-    return model.apply(variables, out[:, Lv:], method=LavenderModel.mlm_head)
+    hidden = out[:, -1:] if last_only else out[:, Lv:]
+    return model.apply(variables, hidden, method=LavenderModel.mlm_head)
 
 
 def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
@@ -105,7 +106,7 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
         B, O, L = txt.shape
         fp, mp = common.apply_pretext(pretext, variables, B * O)
         logits = option_logits(model, variables, img, txt, mask,
-                               feat_pre=fp, mask_pre=mp)
+                               feat_pre=fp, mask_pre=mp, last_only=True)
         last = logits[:, -1, :].astype(jnp.float32).reshape(B, O, -1)
         p_true = last[..., true_id]
         p_false = last[..., false_id]

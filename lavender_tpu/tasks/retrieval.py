@@ -78,7 +78,8 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
                         mask_pre: Optional[Array] = None,
                         deterministic: bool = True,
                         rngs: Optional[Dict] = None,
-                        group: int = 1) -> Tuple[Array, int]:
+                        group: int = 1,
+                        last_only: bool = False) -> Tuple[Array, int]:
     """All b x b (video_i, text_j) pairs within each of ``group`` batch
     groups -> MLM logits on the text slice.
 
@@ -92,6 +93,14 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
     Returns (logits [B*b, Lp+Lt, V], pretxt_len) with b = B // group;
     pair (g, i, j) lives at row (g*b + i)*b + j, matching the reference
     loop order per rank.
+
+    ``last_only``: apply the MLM head to the final (appended-[MASK])
+    position only -> logits [B*b, 1, V].  The head commutes with the
+    position slice, and XLA does NOT dead-code-eliminate the unused
+    positions of a full-sequence vocab projection (measured: the
+    [B^2*Lt, V] dot stays in the HLO when only [:, -1] is consumed) —
+    on the B x B train product that is ~Lt x wasted head FLOPs and a
+    [B^2, Lt, V] intermediate.
     """
     B = img.shape[0]
     assert B % group == 0, (B, group)
@@ -118,8 +127,8 @@ def pairwise_mlm_logits(model: LavenderModel, variables, img, txt, mask,
     out = model.apply(
         variables, pfi, pmi, pft, pmt, deterministic=deterministic,
         method=LavenderModel.go_cross, rngs=rngs)
-    logits = model.apply(variables, out[:, Lv:],
-                         method=LavenderModel.mlm_head)
+    hidden = out[:, -1:] if last_only else out[:, Lv:]
+    logits = model.apply(variables, hidden, method=LavenderModel.mlm_head)
     return logits, lp
 
 
@@ -134,7 +143,8 @@ def make_eval_step(model: LavenderModel, true_id: int, false_id: int,
         B = img.shape[0]
         fp, mp = common.apply_pretext(pretext, variables, B)
         logits, _ = pairwise_mlm_logits(model, variables, img, txt, mask,
-                                        feat_pre=fp, mask_pre=mp)
+                                        feat_pre=fp, mask_pre=mp,
+                                        last_only=True)
         last = logits[:, -1, :].astype(jnp.float32)  # [B*B, V]
         p_true = last[:, true_id]
         p_false = last[:, false_id]
@@ -164,7 +174,8 @@ def make_loss_fn(model: LavenderModel, true_id: int, false_id: int,
                                       deterministic=False, rngs=rngs)
         logits, _ = pairwise_mlm_logits(
             model, {"params": params}, img, txt, mask, feat_pre=fp,
-            mask_pre=mp, deterministic=False, rngs=rngs, group=group)
+            mask_pre=mp, deterministic=False, rngs=rngs, group=group,
+            last_only=True)
         gv = vid.reshape(group, b)
         same = gv[:, :, None] == gv[:, None, :]  # [G, b, b]
         labels = jnp.where(same, true_id, false_id).reshape(-1)
