@@ -45,6 +45,11 @@ Array = jax.Array
 
 _LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
 
+# A/B experiment flag (trace-time constant): phase-reorder the per-window
+# head loop so independent heads' MXU dots sit adjacent to other heads'
+# VPU softmax passes in program order — see _make_attn_window.
+_PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
+
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
@@ -148,6 +153,68 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
     g_width = wq_ref.shape[2]
     g_size = nH // n_grp
     hd = g_width // g_size
+
+    if _PHASED:
+        def attn_window_phased(xw, mask_w):
+            """Same math/element counts as attn_window, PHASE-reordered:
+            all qkv dots, then all score dots + the VPU softmax chain of a
+            head CHUNK, then the pv/proj dots.  Per-head the score dot ->
+            softmax -> pv dot chain is serial (MXU idles through every
+            VPU pass); emitting independent heads' MXU work adjacent to
+            another head's VPU work lets Mosaic's scheduler overlap the
+            units.  Chunked at 8 heads so the live f32 score tiles stay
+            <= 2 MB of scoped VMEM."""
+            qs, ks, vs = [], [], []
+            for g in range(n_grp):
+                qg = (jax.lax.dot_general(
+                    xw, wq_ref[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b3_ref[0, g]) \
+                    * attn_scale
+                kg = jax.lax.dot_general(
+                    xw, wk_ref[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b3_ref[1, g]
+                vg = jax.lax.dot_general(
+                    xw, wv_ref[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + b3_ref[2, g]
+                qs.append(qg.astype(dt))
+                ks.append(kg.astype(dt))
+                vs.append(vg.astype(dt))
+            o_parts = [[None] * g_size for _ in range(n_grp)]
+            chunk = 8
+            for h0 in range(0, nH, chunk):
+                hs = list(range(h0, min(nH, h0 + chunk)))
+                ss = []
+                for h in hs:
+                    g, i = divmod(h, g_size)
+                    q = qs[g][:, i * hd:(i + 1) * hd]
+                    k = ks[g][:, i * hd:(i + 1) * hd]
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    s = s + bias_ref[h].astype(jnp.float32)
+                    if mask_w is not None:
+                        s = s + mask_w
+                    ss.append(s)
+                ps = [jnp.exp2(jnp.minimum(s, 115.4156)) for s in ss]
+                ls = [jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                      for p in ps]
+                for j, h in enumerate(hs):
+                    g, i = divmod(h, g_size)
+                    v = vs[g][:, i * hd:(i + 1) * hd]
+                    o = jax.lax.dot_general(
+                        ps[j].astype(dt), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    o_parts[g][i] = (o / ls[j]).astype(dt)
+            acc = jnp.zeros((Np, C), jnp.float32)
+            for g in range(n_grp):
+                og = (jnp.concatenate(o_parts[g], axis=1) if g_size > 1
+                      else o_parts[g][0])
+                acc = acc + jax.lax.dot_general(
+                    og, wp_ref[g], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return acc + bp_ref[:].astype(jnp.float32)
+
+        return attn_window_phased
 
     def attn_window(xw, mask_w):
         """xw [Np, C] dt, mask_w [Np, Np] f32 | None -> proj out + bias, f32.
