@@ -95,6 +95,12 @@ class BertConfig:
     # DEFAULT ON (same bf16+deterministic+TPU gate as fused_ffn); training
     # keeps the module path (dropout + XLA's fused bwd).
     fused_attn: bool = True
+    # TRAINING: route self-attention through the train kernel (in-kernel
+    # dropout RNG, recompute backward — probs never reach HBM either
+    # direction; ops/encoder_attention.py fused_encoder_attention_train).
+    # OFF until the TPU A/B lands a number (bench.py --train
+    # --fused-attn-train).
+    fused_attn_train: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -113,6 +113,26 @@ class BertSelfAttention(nn.Module):
             out = fused_encoder_attention(q, k, v, mask.astype(jnp.float32),
                                           float(cfg.head_dim) ** -0.5)
             return out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
+        if (getattr(cfg, "fused_attn_train", False) and not deterministic
+                and q.dtype == jnp.bfloat16 and q.shape[2] == k.shape[2]
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()):
+            # train path: softmax probs + attention dropout stay in VMEM in
+            # BOTH directions; the backward regenerates the dropout bits
+            # from the seed (ops/encoder_attention.py train kernels).  On
+            # the B x B pair product the XLA path's [B^2, nH, L, L] probs
+            # + mask round trips dominate the train step's HBM traffic.
+            from lavender_tpu.ops.encoder_attention import (
+                fused_encoder_attention_train)
+            B, nH, L, hd = q.shape
+            mask = jnp.broadcast_to(attn_bias, (B, 1, L, L)).reshape(B, L, L)
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2 ** 31 - 1, jnp.int32)
+            out = fused_encoder_attention_train(
+                q, k, v, mask.astype(jnp.float32), seed,
+                float(cfg.head_dim) ** -0.5,
+                float(cfg.attention_probs_dropout_prob))
+            return out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         attn = jnp.einsum("bhld,bhmd->bhlm", q, k,
                           preferred_element_type=jnp.float32)
         attn = attn / jnp.sqrt(cfg.head_dim).astype(attn.dtype)

@@ -146,3 +146,237 @@ def _bwd(scale, res, g):
 
 
 fused_encoder_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode fused attention: in-kernel dropout RNG + recompute backward.
+#
+# The train step's fusion encoder runs on the B x B pair product; the XLA
+# module path writes the [B^2, nH, L, L] softmax probs AND a same-shaped
+# dropout mask to HBM in forward and reads both back in backward — at the
+# flagship train shapes that is ~GBs per step on a ~122 GB/s chip.  Here
+# the forward keeps scores/probs/dropout bits in VMEM (bits from the TPU
+# PRNG, seeded per batch element), and the backward RE-GENERATES the same
+# bits (same seed, same per-head call order) while recomputing the scores
+# — nothing [L, L]-shaped ever touches HBM in either direction.
+#
+# Dropout is on the softmax PROBABILITIES (HF BertSelfAttention:
+# p = dropout(softmax(s))), and the division by the softmax denominator
+# commutes with the elementwise mask, so the deferred-divide trick still
+# applies: o = ((m * p_raw) @ v) / l.
+# ---------------------------------------------------------------------------
+
+
+def _keep_mask(shape, rate: float, dtype):
+    """Bernoulli(1-rate) / (1-rate) scale mask from the in-kernel PRNG.
+
+    bits >= rate * 2^32  <=>  uniform[0,1) >= rate  (keep).
+    """
+    bits = pltpu.prng_random_bits(shape)  # uint32 per call, stream advances
+    thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    keep = (bits >= thresh).astype(dtype)
+    return keep * (1.0 / (1.0 - rate))
+
+
+def _enc_attn_train_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+                           *, scale: float, rate: float,
+                           mask_out_ref=None):
+    """Forward: one grid step = one batch element; scale/mask pre-folded
+    with log2(e) as in _enc_attn_kernel.  ``mask_out_ref`` (debug twin
+    only) dumps the dropout scale mask per head for the parity tests."""
+    nH = q_ref.shape[1]
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + b)
+    mask = mask_ref[0].astype(jnp.float32)
+    for h in range(nH):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + mask
+        p = jnp.exp2(jnp.minimum(s, 115.4156))
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        m = _keep_mask(p.shape, rate, jnp.float32)
+        if mask_out_ref is not None:
+            mask_out_ref[0, h] = m
+        o = jax.lax.dot_general(
+            (p * m).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+def _enc_attn_train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                               g_ref, dq_ref, dk_ref, dv_ref, dmask_ref,
+                               *, scale: float, rate: float):
+    """Backward: recompute scores AND the dropout bits (same seed, same
+    per-head prng_random_bits order as the forward), then the standard
+    softmax-attention VJP — all [Lp, Lp] tensors stay in VMEM.
+
+    With p = exp2(min(s~, cap))/l (s~ = log2e-folded logits) and
+    o = ((m*p_raw) @ v)/l = (m*p) @ v:
+      dv   = (m*p)^T @ g
+      dp   = m * (g @ v^T)
+      ds   = p * (dp - sum(dp * p))        [natural-log softmax VJP]
+      dq   = ds @ k * scale_nat ; dk = ds^T @ q * scale_nat
+    The min() clamp's zero-gradient region is ignored exactly like the
+    serving _bwd (never hit for |logit| <= 80; see test_kernel_numerics).
+    """
+    nH = q_ref.shape[1]
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + b)
+    mask = mask_ref[0].astype(jnp.float32)
+    scale_nat = scale / _LOG2E
+    for h in range(nH):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        g = g_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + mask
+        p_raw = jnp.exp2(jnp.minimum(s, 115.4156))
+        l = jnp.maximum(jnp.sum(p_raw, axis=-1, keepdims=True), 1e-30)
+        p = p_raw / l
+        m = _keep_mask(p.shape, rate, jnp.float32)
+        pm = (p * m).astype(v.dtype)
+        dv_ref[0, h] = jax.lax.dot_general(
+            pm, g.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = m * jax.lax.dot_general(
+            g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq_ref[0, h] = (jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale_nat).astype(dq_ref.dtype)
+        dk_ref[0, h] = (jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale_nat).astype(dk_ref.dtype)
+        if h == 0:
+            dmask_ref[0] = ds
+        else:
+            dmask_ref[0] = dmask_ref[0] + ds
+
+
+def _train_pad(q, k, v, mask):
+    B, nH, L, hd = q.shape
+    Lp = _round8(L)
+    mask = jnp.maximum(mask, -1e4) * _LOG2E
+    if Lp != L:
+        pad = ((0, 0), (0, 0), (0, Lp - L), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        mask = jnp.pad(mask, ((0, 0), (0, Lp - L), (0, Lp - L)),
+                       constant_values=-1e4 * _LOG2E)
+    return q, k, v, mask, Lp
+
+
+def _train_specs(B, nH, Lp, hd):
+    qkv_spec = pl.BlockSpec((1, nH, Lp, hd), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, Lp, Lp), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return qkv_spec, mask_spec
+
+
+def _train_forward(q, k, v, mask, seed, scale, rate, emit_mask=False):
+    B, nH, L, hd = q.shape
+    qp, kp, vp, maskp, Lp = _train_pad(q, k, v, mask)
+    qkv_spec, mask_spec = _train_specs(B, nH, Lp, hd)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    out_shapes = [jax.ShapeDtypeStruct((B, nH, Lp, hd), q.dtype)]
+    out_specs = [qkv_spec]
+    if emit_mask:
+        out_shapes.append(jax.ShapeDtypeStruct((B, nH, Lp, Lp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, nH, Lp, Lp),
+                                      lambda b: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def kern(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *extra):
+        _enc_attn_train_kernel(
+            seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+            scale=scale * _LOG2E, rate=rate,
+            mask_out_ref=extra[0] if extra else None)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nH * Lp * Lp * hd,
+            bytes_accessed=8 * B * nH * Lp * hd + 2 * B * Lp * Lp,
+            transcendentals=B * nH * Lp * Lp),
+    )(seed_arr, qp, kp, vp, maskp)
+    o = outs[0][:, :, :L] if Lp != L else outs[0]
+    if emit_mask:
+        return o, outs[1][:, :, :L, :L] if Lp != L else outs[1]
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_encoder_attention_train(q: Array, k: Array, v: Array, mask: Array,
+                                  seed: Array, scale: float,
+                                  rate: float) -> Array:
+    """Training attention: softmax + attention-probs dropout, probs never
+    leaving VMEM in forward OR backward (bits regenerated from ``seed``).
+
+    q/k/v: [B, nH, L, hd]; mask: [B, L, L] additive; seed: int32 scalar
+    (fold the step's dropout rng into it); rate: drop probability, static.
+    """
+    return _train_forward(q, k, v, mask, seed, scale, rate)
+
+
+def _train_fwd(q, k, v, mask, seed, scale, rate):
+    return (_train_forward(q, k, v, mask, seed, scale, rate),
+            (q, k, v, mask, seed))
+
+
+def _train_bwd(scale, rate, res, g):
+    import numpy as np
+    q, k, v, mask, seed = res
+    B, nH, L, hd = q.shape
+    qp, kp, vp, maskp, Lp = _train_pad(q, k, v, mask)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, Lp - L), (0, 0))) \
+        if Lp != L else g
+    qkv_spec, mask_spec = _train_specs(B, nH, Lp, hd)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    dq, dk, dv, dmask = pl.pallas_call(
+        functools.partial(_enc_attn_train_bwd_kernel,
+                          scale=scale * _LOG2E, rate=rate),
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, nH, Lp, hd), q.dtype),
+                   jax.ShapeDtypeStruct((B, nH, Lp, hd), k.dtype),
+                   jax.ShapeDtypeStruct((B, nH, Lp, hd), v.dtype),
+                   jax.ShapeDtypeStruct((B, Lp, Lp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * nH * Lp * Lp * hd,
+            bytes_accessed=16 * B * nH * Lp * hd + 2 * B * Lp * Lp,
+            transcendentals=B * nH * Lp * Lp),
+    )(seed_arr, qp, kp, vp, maskp, gp)
+    if Lp != L:
+        dq, dk, dv = dq[:, :, :L], dk[:, :, :L], dv[:, :, :L]
+        dmask = dmask[:, :L, :L]
+    dmask = jnp.where(mask > -1e4, dmask, 0.0).astype(mask.dtype)
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, dmask, dseed
+
+
+fused_encoder_attention_train.defvjp(_train_fwd, _train_bwd)
+
+
+def encoder_attention_train_debug(q, k, v, mask, seed, scale, rate):
+    """Forward that ALSO returns the dropout scale-mask the kernel drew
+    ([B, nH, L, L], values in {0, 1/(1-rate)}) — test hook to verify the
+    backward regenerates identical bits."""
+    return _train_forward(q, k, v, mask, seed, scale, rate, emit_mask=True)

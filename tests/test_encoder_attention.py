@@ -66,3 +66,88 @@ def test_gradients_match_reference():
     for a, b in zip(gg, gw):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Train kernel (in-kernel dropout, recompute backward).  NOTE: interpret
+# mode stubs prng_random_bits to ZEROS, so rate>0 drops everything here;
+# the rate=0 tests verify full numerics, and the debug-mask tests verify
+# the forward/backward consume IDENTICAL bits (both all-zero on CPU, real
+# on TPU) via the emitted-mask oracle.
+# ---------------------------------------------------------------------------
+
+
+def test_train_kernel_rate0_matches_reference():
+    from lavender_tpu.ops.encoder_attention import (
+        fused_encoder_attention_train)
+    B, nH, L, hd = 2, 4, 29, 32
+    q, k, v, mask = _mk(B, nH, L, hd, seed=3, big_neg=-1e4)
+    want = encoder_attention_reference(q, k, v, mask, hd ** -0.5)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_encoder_attention_train(
+            q, k, v, mask, jnp.int32(7), hd ** -0.5, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_train_kernel_rate0_gradients():
+    from lavender_tpu.ops.encoder_attention import (
+        fused_encoder_attention_train)
+    B, nH, L, hd = 1, 2, 24, 16
+    q, k, v, mask = _mk(B, nH, L, hd, seed=4, big_neg=-1e4)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(encoder_attention_reference(
+            q, k, v, mask, hd ** -0.5) ** 2)
+
+    def loss_train(q, k, v):
+        return jnp.sum(fused_encoder_attention_train(
+            q, k, v, mask, jnp.int32(7), hd ** -0.5, 0.0) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gt = jax.grad(loss_train, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_train_kernel_dropout_mask_consistency():
+    """Forward output == oracle evaluated with the kernel's own emitted
+    dropout mask, and the custom_vjp backward == the vjp of that oracle —
+    i.e. fwd and bwd consume the same bits."""
+    from lavender_tpu.ops.encoder_attention import (
+        encoder_attention_train_debug, fused_encoder_attention_train)
+    B, nH, L, hd = 1, 2, 16, 16
+    rate = 0.3
+    q, k, v, mask = _mk(B, nH, L, hd, seed=5, big_neg=-1e4)
+
+    with pltpu.force_tpu_interpret_mode():
+        o, m = encoder_attention_train_debug(
+            q, k, v, mask, jnp.int32(11), hd ** -0.5, rate)
+
+    def oracle_with_mask(q, k, v):
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * (hd ** -0.5)
+        s = s + jnp.maximum(mask, -1e4)[:, None]
+        p = jax.nn.softmax(s, axis=-1) * m
+        return jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    want = oracle_with_mask(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_train(q, k, v):
+        return jnp.sum(fused_encoder_attention_train(
+            q, k, v, mask, jnp.int32(11), hd ** -0.5, rate) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(oracle_with_mask(q, k, v) ** 2)
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gt = jax.grad(loss_train, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gt, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-4)
