@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--fused-attn-train", action="store_true",
                     help="(train) fusion-encoder attention via the train "
                          "kernel: in-kernel dropout RNG + recompute bwd")
+    ap.add_argument("--fused-ffn-train", action="store_true",
+                    help="(train) fusion-encoder FFN via the train kernel: "
+                         "in-kernel hidden dropout + mask-replay bwd")
     ap.add_argument("--train-batch", type=int, default=8,
                     help="batch for --train (the B x B pair product grows "
                          "quadratically; the reference finetunes at 8/GPU)")
@@ -118,6 +121,8 @@ def main():
         bert = dataclasses.replace(bert, fused_attn=True)
     if args.fused_attn_train:
         bert = dataclasses.replace(bert, fused_attn_train=True)
+    if args.fused_ffn_train:
+        bert = dataclasses.replace(bert, fused_ffn_train=True)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 

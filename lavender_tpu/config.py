@@ -101,6 +101,10 @@ class BertConfig:
     # OFF until the TPU A/B lands a number (bench.py --train
     # --fused-attn-train).
     fused_attn_train: bool = False
+    # TRAINING: fused FFN with in-kernel hidden dropout + mask-replay
+    # backward (ops/fused_mlp.py fused_ffn_post_ln_train).  Same OFF-until-
+    # measured policy as fused_attn_train.
+    fused_ffn_train: bool = False
 
     @property
     def head_dim(self) -> int:

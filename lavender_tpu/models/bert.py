@@ -252,6 +252,31 @@ class BertLayer(nn.Module):
                 self.output_LayerNorm.variables["params"]["bias"],
                 cfg.layer_norm_eps)
             return out.reshape(sh)
+        if (getattr(cfg, "fused_ffn_train", False) and not deterministic
+                and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()):
+            # train path: fused FFN with IN-KERNEL hidden dropout (the 4x
+            # [M, HD] intermediate never reaches HBM); backward replays
+            # the exported binary keep mask (ops/fused_mlp.py train kernel)
+            from lavender_tpu.ops.fused_mlp import fused_ffn_post_ln_train
+            sh = x.shape
+            dt = x.dtype
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2 ** 31 - 1, jnp.int32)
+            out = fused_ffn_post_ln_train(
+                x.reshape(-1, sh[-1]),
+                self.intermediate_dense.variables["params"]["kernel"
+                                                            ].astype(dt),
+                self.intermediate_dense.variables["params"]["bias"
+                                                            ].astype(dt),
+                self.output_dense.variables["params"]["kernel"].astype(dt),
+                self.output_dense.variables["params"]["bias"].astype(dt),
+                self.output_LayerNorm.variables["params"]["scale"],
+                self.output_LayerNorm.variables["params"]["bias"],
+                seed, cfg.layer_norm_eps,
+                float(cfg.hidden_dropout_prob))
+            return out.reshape(sh)
         h = self.intermediate_dense(x)
         h = nn.gelu(h, approximate=False)
         h = self.output_dense(h)

@@ -347,3 +347,132 @@ def _ffn_bwd(eps, res, g):
 
 
 fused_ffn_post_ln.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode FFN: the same fused fc1+gelu+fc2+residual+post-LN with the
+# hidden dropout (HF BertOutput: dense -> dropout -> LN(x + res)) applied
+# IN-KERNEL from the TPU PRNG.  The XLA train path round-trips the 4x-wide
+# [M, HD] intermediate through HBM in forward; here it stays in VMEM.  The
+# kernel exports the BINARY keep mask (bf16 0/1 — exact) so the backward
+# (pure-JAX recompute, like the serving path) replays the identical
+# dropout; the 1/(1-rate) scale is applied as an f32 constant on both
+# sides so fwd and bwd agree bit-for-bit on the masked values.
+# ---------------------------------------------------------------------------
+
+
+def _ffn_post_ln_train_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref,
+                              b2_ref, s_ref, lb_ref, o_ref, m_ref, *,
+                              eps: float, rate: float):
+    wdt = w1_ref.dtype
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    h = jax.lax.dot_general(
+        x, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    h = _gelu_exact(h, precise=(wdt == jnp.float32))
+    o = jax.lax.dot_general(
+        h.astype(wdt), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    if rate > 0.0:
+        bits = pltpu.prng_random_bits(o.shape)
+        keep = (bits >= jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1)))
+        keepf = keep.astype(jnp.float32)
+        m_ref[:] = keepf.astype(m_ref.dtype)
+        o = o * keepf * (1.0 / (1.0 - rate))
+    else:
+        m_ref[:] = jnp.ones_like(o).astype(m_ref.dtype)
+    r = o + x.astype(jnp.float32)
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(r * r, axis=-1, keepdims=True) - mean * mean
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * s_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
+    o_ref[:] = ln.astype(o_ref.dtype)
+
+
+def _ffn_train_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps,
+                       rate):
+    M, C = x.shape
+    HD = w1.shape[1]
+    TM = max(256, min(2048, (4 * 1024 * 1024) // max(HD * 4, 1)))
+    TM = max(256, (TM // 256) * 256)
+    Mp = ((M + TM - 1) // TM) * TM
+    xp = jnp.pad(x, ((0, Mp - M), (0, 0))) if Mp != M else x
+    vec = lambda a: a.reshape(1, -1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    tile = lambda: pl.BlockSpec((TM, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out, keep = pl.pallas_call(
+        functools.partial(_ffn_post_ln_train_kernel, eps=eps, rate=rate),
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile(), full((C, HD)), full((1, HD)), full((HD, C)),
+            full((1, C)), full((1, C)), full((1, C)),
+        ],
+        out_specs=[tile(), tile()],
+        out_shape=[jax.ShapeDtypeStruct((Mp, C), x.dtype),
+                   jax.ShapeDtypeStruct((Mp, C), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Mp * C * HD,
+            bytes_accessed=6 * Mp * C + 2 * C * HD * 4,
+            transcendentals=Mp * HD),
+    )(seed_arr, xp, w1, vec(b1), w2, vec(b2), vec(ln_scale), vec(ln_bias))
+    if Mp != M:
+        out, keep = out[:M], keep[:M]
+    return out, keep
+
+
+def _ffn_reference_masked(x, w1, b1, w2, b2, ln_scale, ln_bias, keep, eps,
+                          rate):
+    """_ffn_reference with a given binary keep mask (the backward replay)."""
+    cdt = x.dtype
+    h = x @ w1.astype(cdt) + b1.astype(cdt)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    o = (h.astype(cdt) @ w2.astype(cdt) + b2.astype(cdt)) \
+        .astype(jnp.float32)
+    if rate > 0.0:
+        o = o * keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+    r = o + x.astype(jnp.float32)
+    mean = r.mean(-1, keepdims=True)
+    var = (r * r).mean(-1, keepdims=True) - mean * mean
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return ln.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_ffn_post_ln_train(x, w1, b1, w2, b2, ln_scale, ln_bias, seed,
+                            eps=1e-12, rate=0.1):
+    """Train FFN sub-block: LN(x + dropout(fc2(gelu(fc1(x))))) fused,
+    dropout bits drawn in-kernel from ``seed`` (int32 scalar)."""
+    out, _ = _ffn_train_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                                seed, eps, rate)
+    return out
+
+
+def _ffn_train_fwd(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate):
+    out, keep = _ffn_train_forward(x, w1, b1, w2, b2, ln_scale, ln_bias,
+                                   seed, eps, rate)
+    return out, (x, w1, b1, w2, b2, ln_scale, ln_bias, keep)
+
+
+def _ffn_train_bwd(eps, rate, res, g):
+    import numpy as np
+    x, w1, b1, w2, b2, ln_scale, ln_bias, keep = res
+    _, vjp = jax.vjp(
+        lambda *a: _ffn_reference_masked(*a, keep, eps, rate),
+        x, w1, b1, w2, b2, ln_scale, ln_bias)
+    dseed = np.zeros((), jax.dtypes.float0)
+    return vjp(g) + (dseed,)
+
+
+fused_ffn_post_ln_train.defvjp(_ffn_train_fwd, _ffn_train_bwd)
+
+
+def ffn_train_debug(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate):
+    """Forward that also returns the binary keep mask (test hook)."""
+    return _ffn_train_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, seed,
+                              eps, rate)

@@ -223,3 +223,54 @@ def test_polynomial_gelu_accuracy():
     # f32 path unchanged (A-S erf)
     got_p = np.asarray(_gelu_exact(x, precise=True))
     assert np.abs(got_p - want).max() < 2e-6
+
+
+def test_fused_ffn_train_rate0_and_mask_consistency():
+    """Train FFN kernel: rate=0 == serving reference; with rate>0 the
+    output matches the masked reference evaluated on the kernel's OWN
+    exported keep mask, and the custom_vjp grads match that same masked
+    reference's vjp (fwd/bwd replay identical bits — all-zero keeps in
+    interpret mode, real bits on TPU)."""
+    from lavender_tpu.ops.fused_mlp import (
+        _ffn_reference, _ffn_reference_masked, ffn_train_debug,
+        fused_ffn_post_ln_train)
+    g = np.random.RandomState(3)
+    M, C, HD = 100, 64, 256
+    x = jnp.asarray(g.randn(M, C).astype(np.float32))
+    w1 = jnp.asarray(g.randn(C, HD).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(g.randn(HD).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(g.randn(HD, C).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(g.randn(C).astype(np.float32) * 0.05)
+    s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    seed = jnp.int32(13)
+
+    want0 = _ffn_reference(x, w1, b1, w2, b2, s, b, 1e-12)
+    with pltpu.force_tpu_interpret_mode():
+        got0 = fused_ffn_post_ln_train(x, w1, b1, w2, b2, s, b, seed,
+                                       1e-12, 0.0)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               atol=2e-4, rtol=2e-4)
+
+    rate = 0.25
+    with pltpu.force_tpu_interpret_mode():
+        got, keep = ffn_train_debug(x, w1, b1, w2, b2, s, b, seed,
+                                    1e-12, rate)
+    want = _ffn_reference_masked(x, w1, b1, w2, b2, s, b, keep, 1e-12, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss_train(x, w1, w2):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ffn_post_ln_train(
+                x, w1, b1, w2, b2, s, b, seed, 1e-12, rate) ** 2)
+
+    def loss_oracle(x, w1, w2):
+        return jnp.sum(_ffn_reference_masked(
+            x, w1, b1, w2, b2, s, b, keep, 1e-12, rate) ** 2)
+
+    gt = jax.grad(loss_train, argnums=(0, 1, 2))(x, w1, w2)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, w1, w2)
+    for a, bb in zip(gt, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-3, rtol=1e-3)
