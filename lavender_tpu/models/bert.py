@@ -26,6 +26,16 @@ from flax import linen as nn
 
 from lavender_tpu.config import BertConfig
 
+
+def _fused_backend_ok() -> bool:
+    """Mosaic kernels lower on TPU only.  LVT_FORCE_FUSED=1 lets the CPU
+    test suite route the fused paths under force_tpu_interpret_mode (the
+    backend gate would otherwise silently fall back to the module path,
+    making kernel-vs-module parity tests vacuous)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("LVT_FORCE_FUSED") == "1")
+
 Array = jax.Array
 KVCache = Tuple[Array, Array]  # k, v: [B, nH, Lcache, hd]
 
@@ -101,7 +111,7 @@ class BertSelfAttention(nn.Module):
         cfg = self.config
         if (getattr(cfg, "fused_attn", False) and deterministic
                 and q.dtype == jnp.bfloat16 and q.shape[2] == k.shape[2]
-                and jax.default_backend() == "tpu"
+                and _fused_backend_ok()
                 and not self.is_initializing()):
             # serving path: keep the [B, nH, L, L] scores in VMEM — the XLA
             # path round-trips them through HBM around the softmax (the
@@ -115,7 +125,7 @@ class BertSelfAttention(nn.Module):
             return out.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden_size)
         if (getattr(cfg, "fused_attn_train", False) and not deterministic
                 and q.dtype == jnp.bfloat16 and q.shape[2] == k.shape[2]
-                and jax.default_backend() == "tpu"
+                and _fused_backend_ok()
                 and not self.is_initializing()):
             # train path: softmax probs + attention dropout stay in VMEM in
             # BOTH directions; the backward regenerates the dropout bits
@@ -233,7 +243,7 @@ class BertLayer(nn.Module):
         cfg = self.config
         if (getattr(cfg, "fused_ffn", False) and deterministic
                 and x.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
+                and _fused_backend_ok()
                 and not self.is_initializing()):
             # fused fc1+gelu+fc2+residual+post-LN (serving path) on the
             # SAME params as the module path
@@ -254,7 +264,7 @@ class BertLayer(nn.Module):
             return out.reshape(sh)
         if (getattr(cfg, "fused_ffn_train", False) and not deterministic
                 and x.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
+                and _fused_backend_ok()
                 and not self.is_initializing()):
             # train path: fused FFN with IN-KERNEL hidden dropout (the 4x
             # [M, HD] intermediate never reaches HBM); backward replays

@@ -174,8 +174,13 @@ def test_bert_encoder_fused_ffn_matches_module_path():
     want = enc.apply(params, x, bias)
     enc_f = BertEncoder(dataclasses.replace(cfg, fused_ffn=True),
                         dtype=jnp.bfloat16)
-    with pltpu.force_tpu_interpret_mode():
-        got = enc_f.apply(params, x, bias)
+    import os
+    os.environ["LVT_FORCE_FUSED"] = "1"  # the backend gate would silently
+    try:                                 # fall back to the module path here
+        with pltpu.force_tpu_interpret_mode():
+            got = enc_f.apply(params, x, bias)
+    finally:
+        os.environ.pop("LVT_FORCE_FUSED", None)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2)  # bf16 forward; kernel uses f32 LN stats
@@ -200,11 +205,53 @@ def test_bert_encoder_fused_attn_matches_module_path():
     want = enc.apply(params, x, bias)
     enc_f = BertEncoder(dataclasses.replace(cfg, fused_attn=True),
                         dtype=jnp.bfloat16)
-    with pltpu.force_tpu_interpret_mode():
-        got = enc_f.apply(params, x, bias)
+    import os
+    os.environ["LVT_FORCE_FUSED"] = "1"  # the backend gate would silently
+    try:                                 # fall back to the module path here
+        with pltpu.force_tpu_interpret_mode():
+            got = enc_f.apply(params, x, bias)
+    finally:
+        os.environ.pop("LVT_FORCE_FUSED", None)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+def test_bert_encoder_train_kernels_wiring():
+    """fused_attn_train + fused_ffn_train wiring: fwd+bwd of a 2-layer
+    encoder routes through the train kernels (interpret mode; dropout
+    bits are stubbed to keep-none there, so only shapes/flow/finiteness
+    are checked — numerics are covered by the kernel-level tests and the
+    rate=0 paths)."""
+    import dataclasses
+    import os
+    from lavender_tpu.config import BertConfig
+    from lavender_tpu.models.bert import BertEncoder, extended_attention_mask
+    cfg = BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     hidden_dropout_prob=0.1,
+                     attention_probs_dropout_prob=0.1,
+                     fused_attn_train=True, fused_ffn_train=True)
+    g = np.random.RandomState(5)
+    x = jnp.asarray(g.randn(2, 9, 32).astype(np.float32)).astype(jnp.bfloat16)
+    bias = extended_attention_mask(jnp.ones((2, 9), jnp.int32))
+    enc = BertEncoder(cfg, dtype=jnp.bfloat16)
+    params = enc.init(jax.random.PRNGKey(0), x, bias)
+
+    def loss(params, x):
+        out = enc.apply(params, x, bias, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    os.environ["LVT_FORCE_FUSED"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            val, grads = jax.value_and_grad(loss)(params, x)
+    finally:
+        os.environ.pop("LVT_FORCE_FUSED", None)
+    assert np.isfinite(float(val))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(t, np.float32)).all() for t in flat)
 
 
 def test_polynomial_gelu_accuracy():
