@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--drop-path", type=float, default=0.1)
     ap.add_argument("--parts", default="step,fwd,swin,fusion,opt")
+    ap.add_argument("--fused-attn-train", action="store_true")
+    ap.add_argument("--fused-ffn-train", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,9 @@ def main():
     swin = dataclasses.replace(SWIN_PRESETS["base"], attn_impl=args.attn,
                                scan_blocks=True,
                                drop_path_rate=args.drop_path)
-    bert = BertConfig(fused_ffn=True, fused_attn=True)
+    bert = BertConfig(fused_ffn=True, fused_attn=True,
+                      fused_attn_train=args.fused_attn_train,
+                      fused_ffn_train=args.fused_ffn_train)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     model = LavenderModel(cfg, dtype=jnp.bfloat16)
 
@@ -178,8 +182,8 @@ def main():
                 deterministic=False, method=LavenderModel.go_cross,
                 rngs={"dropout": key})
             logits = model.apply(
-                {"params": params}, out[:, Lv:],
-                method=LavenderModel.mlm_logits)
+                {"params": params}, out[:, -1:],
+                method=LavenderModel.mlm_head)
             return logits[:, -1, :].astype(jnp.float32).mean()
 
         def cross_fwd(params, pfi, carry):
