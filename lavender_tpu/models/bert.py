@@ -196,6 +196,27 @@ class BertSelfOutput(nn.Module):
 
     def __call__(self, x: Array, residual: Array,
                  deterministic: bool = True) -> Array:
+        cfg = self.config
+        if (getattr(cfg, "fused_attn_train", False) and not deterministic
+                and x.dtype == jnp.bfloat16 and _fused_backend_ok()
+                and not self.is_initializing()):
+            # train path companion of the attention train kernel: proj +
+            # in-kernel hidden dropout + residual + LN in one pallas_call
+            # (ops/fused_mlp.py fused_out_ln_train, mask-replay backward)
+            from lavender_tpu.ops.fused_mlp import fused_out_ln_train
+            sh = x.shape
+            dt = x.dtype
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2 ** 31 - 1, jnp.int32)
+            out = fused_out_ln_train(
+                x.reshape(-1, sh[-1]), residual.reshape(-1, sh[-1]),
+                self.dense.variables["params"]["kernel"].astype(dt),
+                self.dense.variables["params"]["bias"].astype(dt),
+                self.LayerNorm.variables["params"]["scale"],
+                self.LayerNorm.variables["params"]["bias"],
+                seed, cfg.layer_norm_eps,
+                float(cfg.hidden_dropout_prob))
+            return out.reshape(sh)
         x = self.dense(x)
         if not deterministic and self.config.hidden_dropout_prob > 0:
             x = self.dropout(x, deterministic=False)

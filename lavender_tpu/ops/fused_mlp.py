@@ -476,3 +476,118 @@ def ffn_train_debug(x, w1, b1, w2, b2, ln_scale, ln_bias, seed, eps, rate):
     """Forward that also returns the binary keep mask (test hook)."""
     return _ffn_train_forward(x, w1, b1, w2, b2, ln_scale, ln_bias, seed,
                               eps, rate)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode attention-output sub-block: LN(res + dropout(x @ w + b)) —
+# HF BertSelfOutput.  Same in-kernel-dropout + binary-mask-replay-backward
+# pattern as fused_ffn_post_ln_train; covers the one remaining
+# dropout+LN chain of a BERT layer once the attention and FFN train
+# kernels are on.
+# ---------------------------------------------------------------------------
+
+
+def _out_ln_train_kernel(seed_ref, x_ref, res_ref, w_ref, b_ref, s_ref,
+                         lb_ref, o_ref, m_ref, *, eps: float, rate: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[:]
+    o = jax.lax.dot_general(
+        x, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0].astype(jnp.float32)
+    if rate > 0.0:
+        bits = pltpu.prng_random_bits(o.shape)
+        keep = (bits >= jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1)))
+        keepf = keep.astype(jnp.float32)
+        m_ref[:] = keepf.astype(m_ref.dtype)
+        o = o * keepf * (1.0 / (1.0 - rate))
+    else:
+        m_ref[:] = jnp.ones_like(o).astype(m_ref.dtype)
+    r = o + res_ref[:].astype(jnp.float32)
+    mean = jnp.mean(r, axis=-1, keepdims=True)
+    var = jnp.mean(r * r, axis=-1, keepdims=True) - mean * mean
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * s_ref[0].astype(jnp.float32) + lb_ref[0].astype(jnp.float32)
+    o_ref[:] = ln.astype(o_ref.dtype)
+
+
+def _out_ln_train_forward(x, res, w, b, ln_scale, ln_bias, seed, eps, rate):
+    M, C = x.shape
+    TM = 512
+    Mp = ((M + TM - 1) // TM) * TM
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+        res = jnp.pad(res, ((0, Mp - M), (0, 0)))
+    vec = lambda a: a.reshape(1, -1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    tile = lambda: pl.BlockSpec((TM, C), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out, keep = pl.pallas_call(
+        functools.partial(_out_ln_train_kernel, eps=eps, rate=rate),
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile(), tile(), full((C, C)), full((1, C)),
+            full((1, C)), full((1, C)),
+        ],
+        out_specs=[tile(), tile()],
+        out_shape=[jax.ShapeDtypeStruct((Mp, C), x.dtype),
+                   jax.ShapeDtypeStruct((Mp, C), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * C * C,
+            bytes_accessed=8 * Mp * C + C * C * 4,
+            transcendentals=0),
+    )(seed_arr, x, res, w, vec(b), vec(ln_scale), vec(ln_bias))
+    if Mp != M:
+        out, keep = out[:M], keep[:M]
+    return out, keep
+
+
+def _out_ln_reference_masked(x, res, w, b, ln_scale, ln_bias, keep, eps,
+                             rate):
+    cdt = x.dtype
+    o = (x @ w.astype(cdt) + b.astype(cdt)).astype(jnp.float32)
+    if rate > 0.0:
+        o = o * keep.astype(jnp.float32) * (1.0 / (1.0 - rate))
+    r = o + res.astype(jnp.float32)
+    mean = r.mean(-1, keepdims=True)
+    var = (r * r).mean(-1, keepdims=True) - mean * mean
+    ln = (r - mean) * jax.lax.rsqrt(var + eps)
+    ln = ln * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return ln.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_out_ln_train(x, res, w, b, ln_scale, ln_bias, seed, eps=1e-12,
+                       rate=0.1):
+    """Train attention-output sub-block: LN(res + dropout(x @ w + b)),
+    dropout bits drawn in-kernel from ``seed``."""
+    out, _ = _out_ln_train_forward(x, res, w, b, ln_scale, ln_bias, seed,
+                                   eps, rate)
+    return out
+
+
+def _out_ln_fwd(x, res, w, b, ln_scale, ln_bias, seed, eps, rate):
+    out, keep = _out_ln_train_forward(x, res, w, b, ln_scale, ln_bias,
+                                      seed, eps, rate)
+    return out, (x, res, w, b, ln_scale, ln_bias, keep)
+
+
+def _out_ln_bwd(eps, rate, res_, g):
+    import numpy as np
+    x, res, w, b, ln_scale, ln_bias, keep = res_
+    _, vjp = jax.vjp(
+        lambda *a: _out_ln_reference_masked(*a, keep, eps, rate),
+        x, res, w, b, ln_scale, ln_bias)
+    dseed = np.zeros((), jax.dtypes.float0)
+    return vjp(g) + (dseed,)
+
+
+fused_out_ln_train.defvjp(_out_ln_fwd, _out_ln_bwd)
+
+
+def out_ln_train_debug(x, res, w, b, ln_scale, ln_bias, seed, eps, rate):
+    """Forward that also returns the binary keep mask (test hook)."""
+    return _out_ln_train_forward(x, res, w, b, ln_scale, ln_bias, seed,
+                                 eps, rate)

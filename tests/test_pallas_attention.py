@@ -321,3 +321,42 @@ def test_fused_ffn_train_rate0_and_mask_consistency():
     for a, bb in zip(gt, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_fused_out_ln_train_mask_consistency():
+    """Attention-output train kernel: fwd == masked reference on its own
+    exported keep mask; custom_vjp grads == that reference's vjp."""
+    from lavender_tpu.ops.fused_mlp import (
+        _out_ln_reference_masked, fused_out_ln_train, out_ln_train_debug)
+    g = np.random.RandomState(6)
+    M, C = 100, 64
+    x = jnp.asarray(g.randn(M, C).astype(np.float32))
+    res = jnp.asarray(g.randn(M, C).astype(np.float32))
+    w = jnp.asarray(g.randn(C, C).astype(np.float32) * 0.05)
+    b = jnp.asarray(g.randn(C).astype(np.float32) * 0.05)
+    s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    lb = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    seed = jnp.int32(17)
+    rate = 0.2
+
+    with pltpu.force_tpu_interpret_mode():
+        got, keep = out_ln_train_debug(x, res, w, b, s, lb, seed,
+                                       1e-12, rate)
+    want = _out_ln_reference_masked(x, res, w, b, s, lb, keep, 1e-12, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    def loss_train(x, res, w):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_out_ln_train(
+                x, res, w, b, s, lb, seed, 1e-12, rate) ** 2)
+
+    def loss_oracle(x, res, w):
+        return jnp.sum(_out_ln_reference_masked(
+            x, res, w, b, s, lb, keep, 1e-12, rate) ** 2)
+
+    gt = jax.grad(loss_train, argnums=(0, 1, 2))(x, res, w)
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(x, res, w)
+    for a, bb in zip(gt, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-3, rtol=1e-3)
