@@ -977,6 +977,68 @@ def _wm_ref(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
     return y
 
 
+def _wm_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                   mask, spatial, window, nH, attn_scale, eps):
+    """wm-layout pure-JAX oracle — the BACKWARD's recompute path.
+
+    Same math as _wm_ref, but computed directly on the window-major
+    [B, nW, Npad, C] layout: batched dense dots over contiguous windows,
+    NO wm_reverse -> spatial window-partition -> wm_partition round trip.
+    The spatial detour's 7-token-tile transposes made the train backward
+    recompute the layout-bound XLA path the kernels exist to avoid; here
+    the recompute is MXU-shaped.  Pad rows stay identity (zero cotangent
+    at the stage exit), exactly like _wm_ref."""
+    B, nW, Npad, C = x_wm.shape
+    N = int(np.prod(window))
+    hd = C // nH
+    xv = x_wm[:, :, :N]
+    h = xv.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    h = (h - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    h = h.astype(x_wm.dtype)
+    qkv = h.reshape(-1, N, C) @ wqkv + (0 if bqkv is None else bqkv)
+    qkv = qkv.reshape(-1, N, 3, nH, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # [B*nW, nH, N, hd]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * attn_scale, k,
+                   preferred_element_type=jnp.float32)
+    s = s + bias[None, :, :N, :N].astype(s.dtype)
+    if mask is not None:
+        s = s.reshape(B, nW, nH, N, N) + mask[None, :, None].astype(s.dtype)
+        s = s.reshape(-1, nH, N, N)
+    p = jax.nn.softmax(s, axis=-1).astype(x_wm.dtype)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p, v,
+                   preferred_element_type=jnp.float32).astype(x_wm.dtype)
+    o = o.transpose(0, 2, 1, 3).reshape(-1, N, C)
+    o = (o @ wproj + bproj).reshape(B, nW, N, C)
+    y = xv + o.astype(x_wm.dtype)
+    if Npad > N:
+        y = jnp.concatenate([y, x_wm[:, :, N:]], axis=2)
+    return y
+
+
+def _wm_full_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        bias, mask, n2_scale, n2_bias, w1, b1, w2, b2,
+                        spatial, window, nH, attn_scale, eps):
+    """wm-native oracle of the whole block (attention + LN2/MLP), the
+    fused_swin_block_wm_full backward's recompute path.  The MLP runs on
+    the VALID rows only (pad rows stay identity, matching _wm_full_ref's
+    gradient semantics)."""
+    from lavender_tpu.ops.fused_mlp import ln_mlp_reference
+    B, nW, Npad, C = x_wm.shape
+    N = int(np.prod(window))
+    y = _wm_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                       bias, mask, spatial, window, nH, attn_scale, eps)
+    yv = y[:, :, :N]
+    flat = yv.reshape(-1, C)
+    out = flat + ln_mlp_reference(
+        flat, n2_scale, n2_bias, w1, b1, w2, b2, eps).astype(y.dtype)
+    out = out.reshape(B, nW, N, C)
+    if Npad > N:
+        out = jnp.concatenate([out, y[:, :, N:]], axis=2)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def fused_swin_block_wm(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                         bias, mask, spatial, window, nH, attn_scale, eps):
@@ -1001,7 +1063,7 @@ def _wm_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
 
 def _wm_bwd(spatial, window, nH, attn_scale, eps, res, g):
     _, vjp = jax.vjp(
-        lambda *a: _wm_ref(*a, spatial, window, nH, attn_scale, eps),
+        lambda *a: _wm_ref_native(*a, spatial, window, nH, attn_scale, eps),
         *res)
     return vjp(g)
 
@@ -1045,7 +1107,8 @@ def _wm_full_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
 
 def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
     _, vjp = jax.vjp(
-        lambda *a: _wm_full_ref(*a, spatial, window, nH, attn_scale, eps),
+        lambda *a: _wm_full_ref_native(*a, spatial, window, nH, attn_scale,
+                                       eps),
         *res)
     return vjp(g)
 

@@ -318,3 +318,76 @@ def test_train_drop_path_wm_matches_xla_with_grads():
     for a, b in zip(flat_w, flat_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-3)
+
+
+def test_wm_native_ref_matches_wm_ref_with_grads():
+    """_wm_ref_native (the wm backward's recompute path) == _wm_ref on
+    valid rows, values AND gradients, masked and unmasked, Npad > N."""
+    from lavender_tpu.ops.swin_block_attn import (
+        _wm_full_ref, _wm_full_ref_native, _wm_ref, _wm_ref_native)
+    g = np.random.RandomState(0)
+    B, nW, C, nH = 2, 4, 16, 2
+    window = (2, 2, 3)   # N = 12, Npad = 16
+    N, Npad = 12, 16
+    spatial = (2, 4, 6)
+    x = jnp.asarray(g.randn(B, nW, Npad, C).astype(np.float32))
+    x = x.at[:, :, N:].set(0.0)  # pads enter zeroed (wm_partition)
+    ln_s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    ln_b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    wqkv = jnp.asarray(g.randn(C, 3 * C).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(g.randn(3 * C).astype(np.float32) * 0.1)
+    wproj = jnp.asarray(g.randn(C, C).astype(np.float32) * 0.1)
+    bproj = jnp.asarray(g.randn(C).astype(np.float32) * 0.1)
+    bias = jnp.asarray(g.randn(nH, Npad, Npad).astype(np.float32) * 0.1)
+    bias = bias.at[:, :, N:].set(-100.0)
+    mask = jnp.asarray(
+        (g.rand(nW, N, N) > 0.85) * -100.0, jnp.float32)
+    n2s = 1.0 + 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    n2b = 0.1 * jnp.asarray(g.randn(C).astype(np.float32))
+    w1 = jnp.asarray(g.randn(C, 2 * C).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(g.randn(2 * C).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(g.randn(2 * C, C).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(g.randn(C).astype(np.float32) * 0.1)
+    scale = (C // nH) ** -0.5
+
+    for m in (None, mask):
+        args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias, m)
+
+        def f_old(x, wqkv, wproj, bias):
+            y = _wm_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias, m,
+                        spatial, window, nH, scale, 1e-5)
+            return jnp.sum(y[:, :, :N] ** 2)  # valid rows only
+
+        def f_new(x, wqkv, wproj, bias):
+            y = _wm_ref_native(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                               bias, m, spatial, window, nH, scale, 1e-5)
+            return jnp.sum(y[:, :, :N] ** 2)
+
+        np.testing.assert_allclose(float(f_new(x, wqkv, wproj, bias)),
+                                   float(f_old(x, wqkv, wproj, bias)),
+                                   rtol=1e-5)
+        go = jax.grad(f_old, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+        gn = jax.grad(f_new, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+        for a, b in zip(gn, go):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+        def F_old(x, w1, w2):
+            y = _wm_full_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias,
+                             m, n2s, n2b, w1, b1, w2, b2, spatial, window,
+                             nH, scale, 1e-5)
+            return jnp.sum(y[:, :, :N] ** 2)
+
+        def F_new(x, w1, w2):
+            y = _wm_full_ref_native(x, ln_s, ln_b, wqkv, bqkv, wproj,
+                                    bproj, bias, m, n2s, n2b, w1, b1, w2,
+                                    b2, spatial, window, nH, scale, 1e-5)
+            return jnp.sum(y[:, :, :N] ** 2)
+
+        np.testing.assert_allclose(float(F_new(x, w1, w2)),
+                                   float(F_old(x, w1, w2)), rtol=1e-5)
+        Go = jax.grad(F_old, argnums=(0, 1, 2))(x, w1, w2)
+        Gn = jax.grad(F_new, argnums=(0, 1, 2))(x, w1, w2)
+        for a, b in zip(Gn, Go):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
