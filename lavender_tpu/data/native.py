@@ -27,8 +27,8 @@ def build(force: bool = False) -> str:
     if op.exists(_LIB) and not force and (
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB, "-ljpeg", "-lpthread"]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIB, "-ljpeg", "-lpthread"]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
 
