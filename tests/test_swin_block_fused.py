@@ -391,3 +391,27 @@ def test_wm_native_ref_matches_wm_ref_with_grads():
         for a, b in zip(Gn, Go):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_backbone_wm_window12_like_no_tail_pad():
+    """The large_384 preset runs window 12 -> N = wd*12*12 is already
+    8-aligned, i.e. the wm path's Npad == N / no-pad-rows case (every
+    other wm test uses window 7's 245 -> 248 tail pad).  wm == xla
+    through a backbone with an 8-aligned window, shifted blocks
+    included."""
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 4, 4), drop_path_rate=0.0,
+                  scan_blocks=True)
+    # window (8,4,4), T=2 -> window_eff (2,4,4): N = 32, Npad = 32
+    cfg_x = SwinConfig(attn_impl="xla", **common)
+    cfg_w = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(1)
+    x = jnp.asarray(g.randn(1, 2, 32, 32, 3).astype(np.float32))
+    mx = VideoSwin3D(cfg_x)
+    params = mx.init(jax.random.PRNGKey(0), x)
+    want = mx.apply(params, x)
+    mw = VideoSwin3D(cfg_w)
+    with pltpu.force_tpu_interpret_mode():
+        got = mw.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
