@@ -175,6 +175,26 @@ def make_cross_scan_fn(model: LavenderModel, true_id: int, false_id: int,
     return scan_fn
 
 
+def _shard_pair_chunks(t_idx, v_idx):
+    """Under a global mesh, shard each scan chunk's PAIR axis over the
+    data axis: every scan step then scores its chunk data-parallel across
+    devices (the feature banks replicate; XLA partitions the gathered
+    batch + fusion forward).  The reference parallelizes its full-corpus
+    eval the same way, via single-node DataParallel
+    (eval_retrieval_mlm.py:133).  No-op without a mesh or when the chunk
+    width does not divide."""
+    from lavender_tpu.parallel import mesh as pmesh
+    mesh = pmesh.global_mesh()
+    if mesh is None or mesh.devices.size == 1:
+        return t_idx, v_idx
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    dp = mesh.shape[pmesh.DATA_AXIS]
+    if t_idx.shape[1] % dp != 0:
+        return t_idx, v_idx
+    sh = NamedSharding(mesh, P(None, pmesh.DATA_AXIS))
+    return jax.device_put(t_idx, sh), jax.device_put(v_idx, sh)
+
+
 def dual_encoder_scores(featv: Dict, featt: Dict, vids, tids) -> np.ndarray:
     """Cheap two-tower prefilter: cosine similarity between mean-pooled
     video tokens and mean-pooled text tokens.  Not in the reference — used
@@ -266,8 +286,8 @@ def full_retrieval_eval(model: LavenderModel, variables,
         n_chunks, pair_batch)
     scan_fn = make_cross_scan_fn(
         model, dataset.true_token_id, dataset.false_token_id, head=head)
-    s = np.asarray(scan_fn(variables, FV, MV, FT, MT,
-                           jnp.asarray(t_idx), jnp.asarray(v_idx)))
+    ti, vi = _shard_pair_chunks(jnp.asarray(t_idx), jnp.asarray(v_idx))
+    s = np.asarray(scan_fn(variables, FV, MV, FT, MT, ti, vi))
     score[t_rows, v_cols] = s.reshape(-1)[:n_pairs]
 
     gt = np.asarray([vid2idx[dataset.gt_txt2vid[t]] for t in tids])

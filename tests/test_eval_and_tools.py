@@ -240,3 +240,28 @@ def test_full_retrieval_eval_pretext(tok, tiny, img_data):
     # step's score is [video, text]; the two-phase matrix is [text, video]
     np.testing.assert_allclose(two_phase, np.asarray(score).T,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_full_retrieval_eval_sharded_matches_unsharded(tok, tiny, img_data):
+    """With a global (data, model) mesh installed, the cross phase shards
+    each pair chunk over the data axis — metrics must equal the
+    single-device run exactly (same pairs, same math, partitioned)."""
+    from lavender_tpu.parallel import mesh as pmesh
+    from lavender_tpu.tasks import eval_retrieval as er
+    d, id2lineidx = img_data
+    model, variables = tiny
+    cfg = DataConfig(size_img=64, size_frame=2, size_txt=8)
+    txt = [{"video": f"v{i}", "caption": f"a dog is playing {i}"}
+           for i in range(4)]
+    ds = er.RetrievalEvalDataset(cfg, tok, "test", str(d / "img_fc.tsv"),
+                                 id2lineidx, txt)
+    want = er.full_retrieval_eval(model, variables, ds, batch_size=2,
+                                  pair_batch=8)
+    mesh = pmesh.make_mesh()  # all 8 virtual CPU devices on the data axis
+    pmesh.set_global_mesh(mesh)
+    try:
+        got = er.full_retrieval_eval(model, variables, ds, batch_size=2,
+                                     pair_batch=8)
+    finally:
+        pmesh.set_global_mesh(None)
+    assert got == want, (got, want)
