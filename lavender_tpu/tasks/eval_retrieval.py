@@ -242,12 +242,29 @@ def full_retrieval_eval(model: LavenderModel, variables,
     dl = loader or DataLoader(dataset, batch_size, shuffle=False,
                               num_workers=4)
 
+    def _shard_feat(*arrs):
+        """Shard a feat-phase batch's leading axis over the mesh data axis
+        (no-op without a mesh / non-dividing batch) — the Swin encode is
+        the eval's FLOPs bulk for large corpora."""
+        from lavender_tpu.parallel import mesh as pmesh
+        mesh = pmesh.global_mesh()
+        if mesh is None or mesh.devices.size == 1:
+            return arrs
+        dp = mesh.shape[pmesh.DATA_AXIS]
+        if arrs[0].shape[0] % dp != 0:
+            return arrs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = lambda a: jax.device_put(a, NamedSharding(
+            mesh, P(pmesh.DATA_AXIS, *([None] * (a.ndim - 1)))))
+        return tuple(sh(a) for a in arrs)
+
     featv: Dict[str, Dict] = {}
     featt: Dict[int, Dict] = {}
     for batch in dl:
         img = TF.device_normalize(jnp.asarray(batch["img"]))
-        fi, mi, ft, mt = feat_fn(variables, img, jnp.asarray(batch["txt"]),
-                                 jnp.asarray(batch["mask"]))
+        img, txt_b, mask_b = _shard_feat(
+            img, jnp.asarray(batch["txt"]), jnp.asarray(batch["mask"]))
+        fi, mi, ft, mt = feat_fn(variables, img, txt_b, mask_b)
         fi, mi = np.asarray(fi), np.asarray(mi)
         ft, mt = np.asarray(ft), np.asarray(mt)
         for i, (tid, vid) in enumerate(zip(batch["tid"], batch["vid"])):
