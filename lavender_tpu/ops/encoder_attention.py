@@ -47,6 +47,9 @@ def encoder_attention_reference(q: Array, k: Array, v: Array,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+_ENC_PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
+
+
 def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     """One grid step = one batch element, all heads (static loop).
 
@@ -56,6 +59,29 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     exp (which lowers to exp2(x * log2e))."""
     nH = q_ref.shape[1]
     mask = mask_ref[0].astype(jnp.float32)
+    if _ENC_PHASED:
+        # LVT_PHASED A/B (see swin_block_attn._make_attn_window): emit all
+        # heads' score dots, then the VPU softmax chain, then the pv dots
+        # — adjacent independent MXU/VPU work for the scheduler to overlap
+        for h0 in range(0, nH, 8):
+            hs = list(range(h0, min(nH, h0 + 8)))
+            ss = []
+            for h in hs:
+                s = jax.lax.dot_general(
+                    q_ref[0, h] * scale, k_ref[0, h],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ss.append(s + mask)
+            ps = [jnp.exp2(jnp.minimum(s, 115.4156)) for s in ss]
+            ls = [jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                  for p in ps]
+            for j, h in enumerate(hs):
+                v = v_ref[0, h]
+                o = jax.lax.dot_general(
+                    ps[j].astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                o_ref[0, h] = (o / ls[j]).astype(o_ref.dtype)
+        return
     for h in range(nH):
         q = q_ref[0, h]  # [Lp, hd]
         k = k_ref[0, h]
