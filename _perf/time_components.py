@@ -168,6 +168,33 @@ def main():
                 return out.astype(jnp.float32).mean()
             scan_time(pm_fwd, pmp, xm, label=f"patch merge C={Cs} {HW}x{HW}")
 
+    if "shifts" in parts:
+        # the wm path's per-block-pair relayout cost: wm_shift (reverse ->
+        # roll -> partition, one fused XLA copy) at each stage's geometry.
+        # Stage i runs depths[i]/2 pairs x 2 shifts of this.
+        from lavender_tpu.ops.swin_block_attn import _round8, wm_shift
+        geoms = [(128, 56, (1, 2)), (256, 28, (1, 2)), (512, 14, (9, 18)),
+                 (1024, 7, (1, 2))]
+        for Cs, HW, (pairs, _d) in geoms:
+            win = (8, 7, 7)
+            D = 3
+            weff = (min(D, win[0]), win[1], win[2])
+            N = int(np.prod(weff))
+            Npad = _round8(N)
+            nW = (HW // 7) ** 2
+            t = jnp.asarray(rng.rand(B, nW, Npad, Cs), jnp.bfloat16)
+
+            def sh_fwd(t, carry, _w=weff, _hw=HW):
+                y = wm_shift(t + carry.astype(jnp.bfloat16), _w, D, _hw,
+                             _hw, (0, 3, 3))
+                return y.astype(jnp.float32).mean()
+            dt_s = scan_time(sh_fwd, t,
+                             label=f"wm_shift C={Cs} {HW}x{HW} nW={nW}")
+            mb = t.size * 2 / 1e6
+            print(f"  -> {mb:.1f} MB tensor, ~{2 * mb / dt_s / 1e3:.0f} "
+                  f"GB/s; x{2 * pairs} per fwd = "
+                  f"{2 * pairs * dt_s * 1e3:.2f} ms", flush=True)
+
     if "fusion" in parts:
         model = LavenderModel(cfg, dtype=jnp.bfloat16)
         L = 26

@@ -134,8 +134,12 @@ def main():
         def fwd_bwd(params, carry):
             batch = batch_of(carry)
             loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            return loss + leaf.astype(jnp.float32).mean()
+            # consume EVERY grad leaf — consuming one leaf lets XLA DCE
+            # all the other parameter-grad matmuls (dW = x^T dy), which
+            # made fwd+bwd measure == fwd-only (round-3 battery artifact)
+            acc = sum(leaf.astype(jnp.float32).mean()
+                      for leaf in jax.tree_util.tree_leaves(grads))
+            return loss + acc
         scan_time(fwd_bwd, state.params, label="loss fwd+bwd (no optimizer)")
 
     if "swin" in parts:
@@ -159,8 +163,9 @@ def main():
 
         def feat_bwd(params, carry):
             loss, grads = jax.value_and_grad(feat_loss)(params, carry)
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            return loss + leaf.astype(jnp.float32).mean()
+            acc = sum(leaf.astype(jnp.float32).mean()
+                      for leaf in jax.tree_util.tree_leaves(grads))
+            return loss + acc
         scan_time(feat_bwd, state.params, label="go_feat fwd+bwd")
 
     if "fusion" in parts:
@@ -193,8 +198,9 @@ def main():
 
         def cross_bwd(params, pfi, carry):
             loss, grads = jax.value_and_grad(cross_loss)(params, pfi, carry)
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            return loss + leaf.astype(jnp.float32).mean()
+            acc = sum(leaf.astype(jnp.float32).mean()
+                      for leaf in jax.tree_util.tree_leaves(grads))
+            return loss + acc
         scan_time(cross_bwd, state.params, pfi,
                   label=f"go_cross+head fwd+bwd ({B * b} pairs)")
 

@@ -98,12 +98,13 @@ class BertConfig:
     # TRAINING: route self-attention through the train kernel (in-kernel
     # dropout RNG, recompute backward — probs never reach HBM either
     # direction; ops/encoder_attention.py fused_encoder_attention_train).
-    # OFF until the TPU A/B lands a number (bench.py --train
-    # --fused-attn-train).
-    fused_attn_train: bool = False
+    # DEFAULT ON: TPU A/B (round 3, _perf/round3_ab.sh) measured the full
+    # retrieval-MLM train step at 29.96 vs 24.05 clips/s (+25%).
+    fused_attn_train: bool = True
     # TRAINING: fused FFN with in-kernel hidden dropout + mask-replay
-    # backward (ops/fused_mlp.py fused_ffn_post_ln_train).  Same OFF-until-
-    # measured policy as fused_attn_train.
+    # backward (ops/fused_mlp.py fused_ffn_post_ln_train).  OFF: the same
+    # A/B measured it a slight LOSS (23.3 alone / 29.8 with attn vs 30.0
+    # attn-only) — XLA's stored-activation FFN bwd beats the recompute here.
     fused_ffn_train: bool = False
 
     @property

@@ -49,6 +49,12 @@ def encoder_attention_reference(q: Array, k: Array, v: Array,
 
 _ENC_PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
 
+# Softmax denominator folded into the pv matmul via a ones column on v
+# (see swin_block_attn._PVSUM): kills the [Lp, Lp] lane-reduce VPU pass
+# per head.  Serving kernels only — the train kernels need l = sum(p_raw)
+# BEFORE the dropout mask, which the (p*m) @ v dot cannot provide.
+_PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
+
 
 def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     """One grid step = one batch element, all heads (static loop).
@@ -73,6 +79,19 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
                     preferred_element_type=jnp.float32)
                 ss.append(s + mask)
             ps = [jnp.exp2(jnp.minimum(s, 115.4156)) for s in ss]
+            if _PVSUM:
+                for j, h in enumerate(hs):
+                    v = v_ref[0, h]
+                    hd = v.shape[1]
+                    ones = jnp.ones((v.shape[0], 8), v.dtype)
+                    ol = jax.lax.dot_general(
+                        ps[j].astype(v.dtype),
+                        jnp.concatenate([v, ones], axis=1),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                    o_ref[0, h] = (ol[:, :hd] / l).astype(o_ref.dtype)
+                continue
             ls = [jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
                   for p in ps]
             for j, h in enumerate(hs):
@@ -97,11 +116,24 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         # NaN below ~-85 (all-underflowed row, e.g. a fully-masked padded
         # query row) via the max(l, tiny) guard.  Cap = 80 * log2(e).
         p = jnp.exp2(jnp.minimum(s, 115.4156))
-        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-        o = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+        if _PVSUM:
+            # denominator in the pv dot's idle output lanes (hd of 128):
+            # same MXU passes, one fewer [Lp, Lp] VPU pass
+            hd = v.shape[1]
+            ol = jax.lax.dot_general(
+                p.astype(v.dtype),
+                jnp.concatenate([v, jnp.ones((v.shape[0], 8), v.dtype)],
+                                axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+            o_ref[0, h] = (ol[:, :hd] / l).astype(o_ref.dtype)
+        else:
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0, h] = (o / l).astype(o_ref.dtype)
 
 
 _LOG2E = 1.4426950408889634

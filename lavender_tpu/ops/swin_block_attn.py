@@ -50,6 +50,13 @@ _LOG2E = 1.4426950408889634  # log2(e): exp(x) == exp2(x * _LOG2E)
 # VPU softmax passes in program order — see _make_attn_window.
 _PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
 
+# Fold the softmax denominator into the pv matmul: concat a ones column
+# onto v so sum_j p_ij rides the MXU's idle output lanes (hd=32 of 128)
+# instead of a VPU lane-reduce pass over the whole [Np, Np] score tile.
+# l then accumulates the SAME bf16-rounded p the pv dot consumes (in f32),
+# so o/l is, if anything, more self-consistent than the old f32-p sum.
+_PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
+
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
@@ -195,16 +202,30 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                     if mask_w is not None:
                         s = s + mask_w
                     ss.append(s)
-                ps = [jnp.exp2(jnp.minimum(s, 115.4156)) for s in ss]
-                ls = [jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-                      for p in ps]
-                for j, h in enumerate(hs):
-                    g, i = divmod(h, g_size)
-                    v = vs[g][:, i * hd:(i + 1) * hd]
-                    o = jax.lax.dot_general(
-                        ps[j].astype(dt), v, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    o_parts[g][i] = (o / ls[j]).astype(dt)
+                ps = [jnp.exp2(jnp.minimum(s, 115.4156)).astype(dt)
+                      for s in ss]
+                if _PVSUM:
+                    ones = jnp.ones((Np, 8), dt)
+                    for j, h in enumerate(hs):
+                        g, i = divmod(h, g_size)
+                        v = vs[g][:, i * hd:(i + 1) * hd]
+                        ol = jax.lax.dot_general(
+                            ps[j], jnp.concatenate([v, ones], axis=1),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                        o_parts[g][i] = (ol[:, :hd] / l).astype(dt)
+                else:
+                    ls = [jnp.maximum(
+                        jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True), 1e-30) for p in ps]
+                    for j, h in enumerate(hs):
+                        g, i = divmod(h, g_size)
+                        v = vs[g][:, i * hd:(i + 1) * hd]
+                        o = jax.lax.dot_general(
+                            ps[j], v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        o_parts[g][i] = (o / ls[j]).astype(dt)
             acc = jnp.zeros((Np, C), jnp.float32)
             for g in range(n_grp):
                 og = (jnp.concatenate(o_parts[g], axis=1) if g_size > 1
@@ -271,12 +292,27 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 # exp(s_nat) == exp2(s) with NO per-tile multiply (XLA/
                 # Mosaic lower exp as exp2(x*log2e) — the fold deletes
                 # that [Np, Np] multiply pass).  Cap 80*log2(e).
-                p = jnp.exp2(jnp.minimum(s, 115.4156))
-                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-                o = jax.lax.dot_general(
-                    p.astype(dt), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                o_parts.append((o / l).astype(dt))
+                p = jnp.exp2(jnp.minimum(s, 115.4156)).astype(dt)
+                if _PVSUM:
+                    # denominator rides the pv dot's idle output lanes
+                    # (see _PVSUM above): [Np, Np] @ [Np, hd+8] costs the
+                    # same MXU passes as hd alone, and the [Np, Np]
+                    # lane-reduce pass disappears
+                    ol = jax.lax.dot_general(
+                        p, jnp.concatenate(
+                            [v, jnp.ones((Np, 8), dt)], axis=1),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                    o_parts.append((ol[:, :hd] / l).astype(dt))
+                else:
+                    l = jnp.maximum(
+                        jnp.sum(p.astype(jnp.float32), axis=-1,
+                                keepdims=True), 1e-30)
+                    o = jax.lax.dot_general(
+                        p, v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    o_parts.append((o / l).astype(dt))
             og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
                   else o_parts[0])
             acc = acc + jax.lax.dot_general(
