@@ -57,6 +57,16 @@ _PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
 # so o/l is, if anything, more self-consistent than the old f32-p sum.
 _PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
 
+# Batched group epilogue on top of _PVSUM: widen the ones block to hd
+# lanes (the MXU then emits l pre-broadcast across a full head-width —
+# every ones column produces the same sum) and run ONE max/divide/astype
+# chain over the whole 128-lane head group instead of per-head 32-lane
+# passes.  A [Np, 32] VPU pass costs the same cycles as [Np, 128] (the
+# vector unit is 8x128 regardless of active lanes), so the per-head
+# epilogue wastes ~3/4 of its passes.  TPU A/B: 435.6 vs 416.9 clips/s
+# serving (+4.5%) — default ON.
+_EPI = __import__("os").environ.get("LVT_EPI", "1") == "1"
+
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
@@ -264,6 +274,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
             # FLOPs beat the saved dot-issue overhead.  Thin per-head dots
             # kept deliberately.
             o_parts = []
+            ol_parts = []
             for i in range(g_size):
                 h = g * g_size + i
                 q = qg[:, i * hd:(i + 1) * hd]
@@ -293,7 +304,17 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 # Mosaic lower exp as exp2(x*log2e) — the fold deletes
                 # that [Np, Np] multiply pass).  Cap 80*log2(e).
                 p = jnp.exp2(jnp.minimum(s, 115.4156)).astype(dt)
-                if _PVSUM:
+                if _EPI:
+                    # hd-wide ones block: the MXU emits l ALREADY broadcast
+                    # across hd lanes (every ones column sums the same p
+                    # row); the divide then batches across the group below
+                    ol = jax.lax.dot_general(
+                        p, jnp.concatenate(
+                            [v, jnp.ones((Np, hd), dt)], axis=1),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ol_parts.append(ol)
+                elif _PVSUM:
                     # denominator rides the pv dot's idle output lanes
                     # (see _PVSUM above): [Np, Np] @ [Np, hd+8] costs the
                     # same MXU passes as hd alone, and the [Np, Np]
@@ -313,8 +334,18 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                         p, v, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     o_parts.append((o / l).astype(dt))
-            og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
-                  else o_parts[0])
+            if _EPI:
+                # one 128-lane max/divide/astype chain for the whole group
+                o_all = (jnp.concatenate([ol[:, :hd] for ol in ol_parts],
+                                         axis=1)
+                         if g_size > 1 else ol_parts[0][:, :hd])
+                l_all = (jnp.concatenate([ol[:, hd:] for ol in ol_parts],
+                                         axis=1)
+                         if g_size > 1 else ol_parts[0][:, hd:])
+                og = (o_all / jnp.maximum(l_all, 1e-30)).astype(dt)
+            else:
+                og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
+                      else o_parts[0])
             acc = acc + jax.lax.dot_general(
                 og, wp_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
