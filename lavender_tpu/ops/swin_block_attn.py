@@ -67,6 +67,11 @@ _PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
 # serving (+4.5%) — default ON.
 _EPI = __import__("os").environ.get("LVT_EPI", "1") == "1"
 
+# Route wm_shift through the one-pass Pallas permutation kernel
+# (ops/wm_permute.py) instead of XLA's reverse+roll+partition copies.
+# TPU A/B: 460.9 vs 435.6 clips/s serving (+5.8%) — default ON.
+_PSHIFT = __import__("os").environ.get("LVT_PSHIFT", "1") == "1"
+
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
@@ -793,8 +798,15 @@ def wm_shift(t: Array, window: Tuple[int, int, int], D: int, H: int,
              W: int, shift: Tuple[int, int, int],
              inverse: bool = False) -> Array:
     """Cyclic shift expressed in window-major coordinates: reverse ->
-    roll -> partition.  All three are layout ops, so XLA emits ONE fused
-    copy — the same cost as the spatial path's roll+re-pad."""
+    roll -> partition.  All three are layout ops, but XLA lowers the
+    composition to 2-3 copy passes with a ~0.4-0.7 ms fixed cost per
+    call; `LVT_PSHIFT` routes supported geometries through the one-pass
+    Pallas permutation kernel (ops/wm_permute.py) instead."""
+    if _PSHIFT and jax.default_backend() == "tpu":
+        from lavender_tpu.ops import wm_permute
+        if wm_permute.supports_pallas_shift(window, D, H, W, t.shape[2]):
+            return wm_permute.wm_shift_pallas(
+                t, tuple(window), D, H, W, tuple(shift), inverse)
     xs = wm_reverse(t, window, D, H, W)
     sh = tuple(int(s) if inverse else -int(s) for s in shift)
     xs = jnp.roll(xs, sh, axis=(1, 2, 3))
