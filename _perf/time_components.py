@@ -22,7 +22,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--parts", default="swin,stages,fusion")
     ap.add_argument("--fused-attn", action="store_true",
-                    help="fusion-encoder attention via the Pallas kernel")
+                    help="(legacy, now default) fusion-encoder attention "
+                         "via the Pallas kernel")
+    ap.add_argument("--no-fused-attn", action="store_true")
+    ap.add_argument("--no-fused-ffn", action="store_true")
     ap.add_argument("--pe-impl", default="s2d", choices=["s2d", "conv"])
     args = ap.parse_args()
 
@@ -42,8 +45,10 @@ def main():
 
     swin = dataclasses.replace(SWIN_PRESETS["base"], attn_impl=args.attn,
                                scan_blocks=True)
-    bert = BertConfig(fused_ffn=(args.attn == "fused"),
-                      fused_attn=args.fused_attn)
+    # Serving defaults (BertConfig: fused_ffn/fused_attn ON) unless
+    # explicitly disabled — the old harness silently timed the XLA path.
+    bert = BertConfig(fused_ffn=not args.no_fused_ffn,
+                      fused_attn=not args.no_fused_attn)
     cfg = ModelConfig(swin=swin, bert=bert, dtype="bfloat16")
     B, T, S = args.batch, 5, 224
     iters = args.iters
@@ -221,6 +226,73 @@ def main():
             return logits.astype(jnp.float32).mean()
         scan_time(fusion_fwd, variables, fi, mi, txt, mask,
                   label="fusion (12L BERT + MLM head)")
+
+    if "fusionparts" in parts:
+        # Localize the fusion cost: 12-layer encoder alone, then a
+        # 12x stack of just the attention sub-block / just the FFN
+        # sub-block, on the flagship sequence geometry.
+        import flax.linen as fnn
+        from lavender_tpu.models.bert import (
+            BertEncoder, BertLayer, BertAttention, extended_attention_mask)
+        Lf = T * (1 + 7 * 7) + 26  # 276
+        hb = jnp.asarray(rng.rand(B, Lf, bert.hidden_size), jnp.bfloat16)
+        am = extended_attention_mask(
+            jnp.ones((B, Lf), jnp.int32), jnp.bfloat16)
+
+        enc = BertEncoder(bert, dtype=jnp.bfloat16)
+        pe_ = jax.jit(enc.init)(jax.random.PRNGKey(0), hb, am)
+        pe_ = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, pe_)
+
+        def enc_fwd(p, h, am, carry):
+            out = enc.apply(p, h + carry.astype(jnp.bfloat16), am)
+            return out.astype(jnp.float32).mean()
+        scan_time(enc_fwd, pe_, hb, am, label=f"12L encoder alone L={Lf}")
+
+        class _AttnStack(fnn.Module):
+            cfg: object
+            dtype: object
+
+            @fnn.compact
+            def __call__(self, h, am):
+                for i in range(12):
+                    h = BertAttention(self.cfg, dtype=self.dtype,
+                                      name=f"a{i}")(h, am)
+                return h
+
+        st = _AttnStack(bert, jnp.bfloat16)
+        ps = jax.jit(st.init)(jax.random.PRNGKey(0), hb, am)
+        ps = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, ps)
+
+        def attn_fwd(p, h, am, carry):
+            out = st.apply(p, h + carry.astype(jnp.bfloat16), am)
+            return out.astype(jnp.float32).mean()
+        scan_time(attn_fwd, ps, hb, am, label="12x attention sub-block")
+
+        class _FfnStack(fnn.Module):
+            cfg: object
+            dtype: object
+
+            @fnn.compact
+            def __call__(self, h):
+                for i in range(12):
+                    h = BertLayer(self.cfg, dtype=self.dtype,
+                                  name=f"f{i}")._ffn(h, True)
+                return h
+
+        sf = _FfnStack(bert, jnp.bfloat16)
+        pf = jax.jit(sf.init)(jax.random.PRNGKey(0), hb)
+        pf = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, pf)
+
+        def ffn_fwd(p, h, carry):
+            out = sf.apply(p, h + carry.astype(jnp.bfloat16))
+            return out.astype(jnp.float32).mean()
+        scan_time(ffn_fwd, pf, hb, label="12x FFN sub-block")
 
 
 if __name__ == "__main__":

@@ -233,6 +233,33 @@ class BertAttention(nn.Module):
 
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
+        cfg = self.config
+        if (getattr(cfg, "fused_attn", False) and deterministic
+                and x.dtype == jnp.bfloat16 and _fused_backend_ok()
+                and not self.is_initializing()):
+            # serving path: the WHOLE sub-block (qkv + attention + proj +
+            # residual + post-LN) in one pallas_call — no [B, nH, L, hd]
+            # head transpose and a single [L, C] slab round-trip, vs the
+            # module path's ~4 (ops/encoder_attention.fused_bert_attn_block)
+            from lavender_tpu.ops.encoder_attention import (
+                fused_bert_attn_block)
+            dt = x.dtype
+            sp = self.self.variables["params"]
+            op = self.output.variables["params"]
+            B, L, _ = x.shape
+            mask = jnp.broadcast_to(attn_bias, (B, 1, L, L)).reshape(B, L, L)
+            return fused_bert_attn_block(
+                x, sp["query"]["kernel"].astype(dt),
+                sp["key"]["kernel"].astype(dt),
+                sp["value"]["kernel"].astype(dt),
+                sp["query"]["bias"].astype(dt),
+                sp["key"]["bias"].astype(dt),
+                sp["value"]["bias"].astype(dt),
+                op["dense"]["kernel"].astype(dt),
+                op["dense"]["bias"].astype(dt),
+                op["LayerNorm"]["scale"], op["LayerNorm"]["bias"],
+                mask.astype(jnp.float32), cfg.num_attention_heads,
+                float(cfg.head_dim) ** -0.5, cfg.layer_norm_eps)
         h = self.self(x, attn_bias, deterministic)
         return self.output(h, x, deterministic)
 

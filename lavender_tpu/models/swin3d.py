@@ -34,6 +34,16 @@ from flax import linen as nn
 
 from lavender_tpu.config import SwinConfig
 
+# A/B flag: fuse the cyclic shift into the shifted wm block kernels
+# (fused_swin_block_wm_shifted) where the geometry allows — deletes the
+# wm_shift relayout pair around every qualifying shifted block.
+# MEASURED A LOSS on TPU (456.7 vs 476.2 clips/s same-run control): the
+# one-pass LVT_PSHIFT relayout is already cheap, and the in-kernel
+# misaligned gather/scatter + the 4-window unroll + losing the merged-MLP
+# kernel for shifted blocks cost more than the saved HBM round-trips.
+# Kept env-gated OFF (the op is correct and parity-tested).
+_IKS = __import__("os").environ.get("LVT_IKS", "0") == "1"
+
 Array = jax.Array
 
 
@@ -551,6 +561,10 @@ class SwinBlockWM(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     layer_norm_eps: float = 1e-5
+    # fuse the cyclic shift into the block kernel (shifted blocks whose
+    # whole window axis fits one grid step — see supports_inkernel_shift);
+    # the caller must then SKIP its wm_shift pair around this block
+    inkernel_shift: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -558,7 +572,8 @@ class SwinBlockWM(nn.Module):
                  dp_rate=None) -> Array:
         from lavender_tpu.ops.swin_block_attn import (
             _round8, full_block_fits_vmem, fused_swin_block_wm,
-            fused_swin_block_wm_full, rel_pos_bias_wm)
+            fused_swin_block_wm_full, fused_swin_block_wm_shifted,
+            rel_pos_bias_wm)
         D, H, W = self.spatial
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, self.shift_size)
@@ -588,13 +603,23 @@ class SwinBlockWM(nn.Module):
         use_dp = not deterministic and dp_rate is not None
         if use_dp:
             rng1, rng2 = jax.random.split(self.make_rng("dropout"))
-        if not use_dp and full_block_fits_vmem(
+        if self.inkernel_shift:
+            # shifted block with the cyclic shift fused into the kernel:
+            # input/output stay in the UNSHIFTED layout (the caller skips
+            # its wm_shift pair); MLP runs as the separate fused call
+            # (the mask + whole-window-axis slab leave no VMEM for it)
+            statics_s = ((D, H, W), window_size, shift_size,
+                         self.num_heads, scale, self.layer_norm_eps)
+            full = fused_swin_block_wm_shifted(x, *args, *statics_s)
+            x = (drop_path_lerp(x, full, rate, deterministic, rng1)
+                 if use_dp else full)
+        elif not use_dp and full_block_fits_vmem(
                 C, hidden_f, self.num_heads, Npad):
             return fused_swin_block_wm_full(
                 x, *args, n2_scale, n2_bias,
                 k1.astype(self.dtype), b1.astype(self.dtype),
                 k2.astype(self.dtype), b2.astype(self.dtype), *statics)
-        if not use_dp:
+        elif not use_dp:
             x = fused_swin_block_wm(x, *args, *statics)
         else:
             full = fused_swin_block_wm(x, *args, *statics)
@@ -705,7 +730,8 @@ class _BlockPairWM(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, dpr: Array):
-        from lavender_tpu.ops.swin_block_attn import wm_shift
+        from lavender_tpu.ops.swin_block_attn import (
+            supports_inkernel_shift, wm_shift)
         D, H, W = self.spatial
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, self.shift)
@@ -718,11 +744,15 @@ class _BlockPairWM(nn.Module):
         x = SwinBlockWM(shift_size=(0, 0, 0), name="a", **common)(
             x, self.deterministic, dpr[0])
         shifted = any(s > 0 for s in shift_size)
-        if shifted:
+        B, nW, Npad, C = x.shape
+        iks = (shifted and _IKS
+               and supports_inkernel_shift(window_size, (D, H, W), Npad,
+                                           C, self.num_heads, nW))
+        if shifted and not iks:
             x = wm_shift(x, window_size, D, H, W, shift_size)
-        x = SwinBlockWM(shift_size=self.shift, name="b", **common)(
-            x, self.deterministic, dpr[1])
-        if shifted:
+        x = SwinBlockWM(shift_size=self.shift, inkernel_shift=iks,
+                        name="b", **common)(x, self.deterministic, dpr[1])
+        if shifted and not iks:
             x = wm_shift(x, window_size, D, H, W, shift_size,
                          inverse=True)
         return x, None

@@ -207,6 +207,153 @@ fused_encoder_attention.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Whole attention SUB-BLOCK kernel (serving): qkv + attention + output
+# projection + residual + post-LN in ONE pallas_call per batch element.
+#
+# fused_encoder_attention above only covers the softmax core: the qkv /
+# proj matmuls and the [B, L, C] <-> [B, nH, L, hd] head transposes stay
+# in XLA, costing ~4 extra slab round-trips + 2 layout relayouts per
+# layer.  This kernel is the BERT equivalent of the Swin whole-block
+# kernel (swin_block_attn._make_attn_window is reused directly, with
+# bias_ref=None): heads live as static 128-lane group slices of the
+# in-VMEM qkv, so no head transpose ever materializes, and the sub-block
+# reads/writes the [L, C] slab exactly once.
+# Reference semantics: BertAttention (models/bert.py:226; HF
+# modeling_bert BertAttention = BertSelfAttention + BertSelfOutput).
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_kernel(x_ref, wq_ref, wk_ref, wv_ref, b3_ref, wp_ref,
+                       bp_ref, mask_ref, lns_ref, lnb_ref, o_ref, *,
+                       Lp: int, C: int, nH: int, attn_scale: float,
+                       eps: float):
+    from lavender_tpu.ops.swin_block_attn import _make_attn_window
+    dt = o_ref.dtype
+    x = x_ref[0]  # [Lp, C] — post-LN arch: qkv reads the raw input
+    attn = _make_attn_window(
+        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, None,
+        Np=Lp, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
+    out = attn(x, mask_ref[0].astype(jnp.float32))  # proj out + bias, f32
+    yf = out + x.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mu)
+    ln = (yf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    o_ref[0] = ln.astype(dt)
+
+
+def fused_bert_attn_block_forward(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
+                                  lns, lnb, mask, nH, scale, eps):
+    """x: [B, L, C] bf16; wq/wk/wv [C, C] (separate, HF param layout);
+    mask [B, L, L] additive f32.  Returns LN(proj(attn(x)) + x):
+    [B, L, C]."""
+    B, L, C = x.shape
+    hd = C // nH
+    Lp = _round8(L)
+    mask = jnp.maximum(mask, -1e4) * _LOG2E
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+        # padded keys masked for every query; padded query rows produce
+        # garbage LN'd rows that the exit slice drops
+        mask = jnp.pad(mask, ((0, 0), (0, Lp - L), (0, Lp - L)),
+                       constant_values=-1e4 * _LOG2E)
+
+    g_size = 1
+    for cand in (4, 2, 1):
+        if nH % cand == 0 and cand * hd <= 128:
+            g_size = cand
+            break
+    n_grp = nH // g_size
+    gw = g_size * hd
+    # head-group layout [n_grp, C, gw]: a free reshape per weight (the
+    # lane axis stays minor — no transpose, groups are lane slices)
+    wq_g = wq.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    wk_g = wk.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    wv_g = wv.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    b3 = jnp.stack([b.reshape(n_grp, 1, gw) for b in (bq, bk, bv)])
+    wp_h = wproj.reshape(n_grp, gw, C)
+    dt = x.dtype
+    mask = mask.astype(dt)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, Lp=Lp, C=C, nH=nH,
+                          attn_scale=scale * _LOG2E, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((n_grp, C, gw)), full((n_grp, C, gw)),
+            full((n_grp, C, gw)), full((3, n_grp, 1, gw)),
+            full((n_grp, gw, C)), full((C,)),
+            pl.BlockSpec((1, Lp, Lp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C,)), full((C,)),
+        ],
+        out_specs=pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, C), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=B * nH * (2 * Lp * C * hd * 3 + 4 * Lp * Lp * hd
+                            + 2 * Lp * hd * C),
+            bytes_accessed=2 * B * Lp * C * 2 + 2 * B * Lp * Lp,
+            transcendentals=B * nH * Lp * Lp),
+    )(x, wq_g, wk_g, wv_g, b3, wp_h, bproj, mask, lns, lnb)
+    return out[:, :L] if Lp != L else out
+
+
+def bert_attn_block_reference(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
+                              lns, lnb, mask, nH, scale, eps):
+    """Pure-JAX oracle (= BertAttention module math: qkv -> softmax
+    attention -> proj -> +residual -> LN)."""
+    B, L, C = x.shape
+    hd = C // nH
+
+    def heads(t):
+        return t.reshape(B, L, nH, hd).transpose(0, 2, 1, 3)
+
+    q = heads(x @ wq + bq)
+    k = heads(x @ wk + bk)
+    v = heads(x @ wv + bv)
+    o = encoder_attention_reference(q, k, v, mask, scale)
+    o = o.transpose(0, 2, 1, 3).reshape(B, L, C)
+    y = (o @ wproj + bproj).astype(jnp.float32) + x.astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+    ln = (y - mu) * jax.lax.rsqrt(var + eps) * lns + lnb
+    return ln.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_bert_attn_block(x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns,
+                          lnb, mask, nH, scale, eps):
+    """LN(proj(softmax_attn(qkv(x))) + x) — one pallas_call per batch
+    element; the whole BertAttention sub-block.  Serving path only
+    (backward = reference recompute)."""
+    return fused_bert_attn_block_forward(
+        x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, mask, nH,
+        scale, eps)
+
+
+def _ab_fwd(x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, mask,
+            nH, scale, eps):
+    out = fused_bert_attn_block_forward(
+        x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, mask, nH,
+        scale, eps)
+    return out, (x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, mask)
+
+
+def _ab_bwd(nH, scale, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: bert_attn_block_reference(*a, nH, scale, eps), *res)
+    return vjp(g)
+
+
+fused_bert_attn_block.defvjp(_ab_fwd, _ab_bwd)
+
+
+# ---------------------------------------------------------------------------
 # TRAIN-mode fused attention: in-kernel dropout RNG + recompute backward.
 #
 # The train step's fusion encoder runs on the B x B pair product; the XLA

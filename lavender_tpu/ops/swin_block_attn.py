@@ -164,7 +164,8 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                       bias_ref, *, Np: int, C: int, nH: int,
                       attn_scale: float, dt):
     """Shared single-window attention body for the spatial-slab and
-    window-major kernels.
+    window-major kernels (and the BERT whole-sub-block kernel, which
+    passes ``bias_ref=None`` — no rel-pos bias).
 
     Heads are processed in lane-width groups: the qkv and projection
     matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
@@ -213,7 +214,8 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                     s = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    s = s + bias_ref[h].astype(jnp.float32)
+                    if bias_ref is not None:
+                        s = s + bias_ref[h].astype(jnp.float32)
                     if mask_w is not None:
                         s = s + mask_w
                     ss.append(s)
@@ -288,7 +290,8 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                s = s + bias_ref[h].astype(jnp.float32)
+                if bias_ref is not None:
+                    s = s + bias_ref[h].astype(jnp.float32)
                 if mask_w is not None:
                     s = s + mask_w
                 # no max-subtraction (measured 300.3 -> 328.3 clips/s: the
@@ -922,6 +925,190 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             parts.append(yc + o2.astype(dt))
         out2 = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         o_ref[0] = out2
+
+
+def _block_kernel_wm_shift(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref,
+                           wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
+                           mask_ref, o_ref, *, nW: int, Npad: int, N: int,
+                           C: int, nH: int, attn_scale: float, eps: float,
+                           runs_by_w):
+    """Shifted wm block with the cyclic shift IN-KERNEL: one grid step
+    owns the whole window axis [1, nW*Npad, C] in UNSHIFTED window-major
+    layout.  Each shifted window w gathers its rows straight from the
+    slab via the static run decomposition (wm_permute.perm_runs_by_window)
+    — LN commutes with the row permutation, so LN runs on the gathered
+    rows — and the attention output scatters back to the same rows with
+    the residual added (the inverse shift).  The pair's two wm_shift HBM
+    relayouts (~2 slab read+writes per shifted block) vanish; the gather/
+    scatter are VMEM sublane copies.
+
+    Pad-row semantics match wm_shift + _block_kernel_wm exactly: gathered
+    window pads are literal zeros (wm_shift zero-pads; the LN(0) vs 0
+    difference only reaches real outputs through bias-masked pad KEYS at
+    exp(-100) — exactly rounded away in f32), and the output slab's pad
+    rows are zeroed."""
+    dt = o_ref.dtype
+    x = x_ref[0]  # [nW*Npad, C]
+    attn_window = _make_attn_window(
+        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
+        Np=Npad, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
+    for w in range(nW):
+        parts = [x[src:src + ln] for (_, src, ln) in runs_by_w[w]]
+        xw = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        xf = xw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) \
+            - jnp.square(mu)
+        ln = (xf - mu) * jax.lax.rsqrt(var + eps)
+        ln = ln * scale_ref[:].astype(jnp.float32) \
+            + lnb_ref[:].astype(jnp.float32)
+        lnw = ln.astype(dt)
+        if Npad > N:
+            lnw = jnp.concatenate(
+                [lnw, jnp.zeros((Npad - N, C), dt)], axis=0)
+        out = attn_window(lnw, mask_ref[w].astype(jnp.float32))
+        out = out.astype(dt)
+        for dst_off, src, ln_r in runs_by_w[w]:
+            o_ref[0, src:src + ln_r, :] = \
+                out[dst_off:dst_off + ln_r] + x[src:src + ln_r]
+    if Npad > N:
+        zpad = jnp.zeros((Npad - N, C), dt)
+        for w in range(nW):
+            o_ref[0, w * Npad + N:(w + 1) * Npad, :] = zpad
+
+
+def _fused_block_forward_wm_shift(x: Array, ln_scale, ln_bias, wqkv, bqkv,
+                                  wproj, bproj, bias, mask, spatial,
+                                  window, shift, nH: int,
+                                  attn_scale: float, eps: float) -> Array:
+    """x: [B, nW, Npad, C] UNSHIFTED window-major.  Returns
+    wm_shift_inv(x' + proj(attn(LN(x'))) for x' = wm_shift(x)) — i.e. the
+    whole shifted half-block including both relayouts — in one
+    pallas_call.  ``mask``: [nW, N, N] per-window shift mask (required)."""
+    from lavender_tpu.ops.wm_permute import perm_runs_by_window
+    B, nW, Npad, C = x.shape
+    D, H, W = spatial
+    N = int(np.prod(window))
+    hd = C // nH
+    runs_by_w = perm_runs_by_window(tuple(window), D, H, W, Npad,
+                                    tuple(shift))
+
+    g_size = 1
+    for cand in (4, 2, 1):
+        if nH % cand == 0 and cand * hd <= 128:
+            g_size = cand
+            break
+    n_grp = nH // g_size
+    gw = g_size * hd
+    w3 = wqkv.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+    b3 = (bqkv.reshape(3, n_grp, 1, gw) if bqkv is not None
+          else jnp.zeros((3, n_grp, 1, gw), wqkv.dtype))
+    wp_h = wproj.reshape(n_grp, gw, C)
+
+    dt = x.dtype
+    bias_p = (bias.astype(jnp.float32) * _LOG2E).astype(dt)
+    assert bias_p.shape == (nH, Npad, Npad), bias_p.shape
+    m = (mask.astype(jnp.float32) * _LOG2E)
+    if Npad > N:
+        m = jnp.pad(m, ((0, 0), (0, Npad - N), (0, Npad - N)))
+    m = m.astype(dt)
+
+    R = nW * Npad
+    x2 = x.reshape(B, R, C)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full((C,)), full((C,)),
+        full((n_grp, C, gw)), full((n_grp, C, gw)), full((n_grp, C, gw)),
+        full((3, n_grp, 1, gw)),
+        full((n_grp, gw, C)), full((C,)),
+        full((nH, Npad, Npad)),
+        full((nW, Npad, Npad)),
+    ]
+    kernel = functools.partial(
+        _block_kernel_wm_shift, nW=nW, Npad=Npad, N=N, C=C, nH=nH,
+        attn_scale=attn_scale * _LOG2E, eps=eps, runs_by_w=runs_by_w)
+    flops_step = nW * nH * (2 * Npad * C * hd * 3 + 4 * Npad * Npad * hd
+                            + 2 * Npad * hd * C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, R, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dt),
+        cost_estimate=pl.CostEstimate(
+            flops=B * flops_step,
+            bytes_accessed=2 * x2.size * x2.dtype.itemsize,
+            transcendentals=B * nW * nH * Npad * Npad),
+    )(x2, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
+      bias_p, m)
+    return out.reshape(B, nW, Npad, C)
+
+
+def supports_inkernel_shift(window, spatial, Npad: int, C: int, nH: int,
+                            nW: int, dtype_size: int = 2) -> bool:
+    """Geometry + VMEM guard for fused_swin_block_wm_shifted: the whole
+    window axis must fit one grid step (bounded unroll) and the resident
+    tensors (weights + bias + per-window masks + double-buffered slabs)
+    must leave headroom in ~16 MB of VMEM."""
+    D, H, W = spatial
+    wd, wh, ww = window
+    if wd != D or H % wh or W % ww or Npad % 8:
+        return False
+    if nW > 4:  # unroll bound: Mosaic spills on wide window unrolls
+        return False
+    weights = (4 * C * C) * dtype_size
+    bias_b = nH * Npad * Npad * dtype_size
+    mask_b = nW * Npad * Npad * dtype_size
+    slabs = 4 * nW * Npad * C * dtype_size  # 2x in + 2x out (revolving)
+    return weights + bias_b + mask_b + slabs <= 11 * 1024 * 1024
+
+
+def _wm_shifted_ref(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                    mask, spatial, window, shift, nH, attn_scale, eps):
+    """Pure-JAX oracle of the in-kernel-shift block: the exact composition
+    the kernel replaces (shift -> wm-native block -> inverse shift)."""
+    D, H, W = spatial
+    xs = wm_shift(x, window, D, H, W, shift)
+    ys = _wm_ref_native(xs, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                        bias, mask, spatial, window, nH, attn_scale, eps)
+    return wm_shift(ys, window, D, H, W, shift, inverse=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def fused_swin_block_wm_shifted(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                                bproj, bias, mask, spatial, window, shift,
+                                nH, attn_scale, eps):
+    """The SHIFTED half of a wm block pair with the cyclic shift fused
+    into the kernel: semantically wm_shift -> fused_swin_block_wm ->
+    wm_shift(inverse) (see _block_kernel_wm_shift).  Input and output are
+    both in the UNSHIFTED window-major layout."""
+    return _fused_block_forward_wm_shift(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
+        spatial, window, shift, nH, attn_scale, eps)
+
+
+def _wms_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
+             spatial, window, shift, nH, attn_scale, eps):
+    out = _fused_block_forward_wm_shift(
+        x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
+        spatial, window, shift, nH, attn_scale, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask)
+
+
+def _wms_bwd(spatial, window, shift, nH, attn_scale, eps, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _wm_shifted_ref(*a, spatial, window, shift, nH,
+                                   attn_scale, eps),
+        *res)
+    return vjp(g)
+
+
+fused_swin_block_wm_shifted.defvjp(_wms_fwd, _wms_bwd)
 
 
 def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:

@@ -97,6 +97,33 @@ def _perm_runs(window: Tuple[int, int, int], D: int, H: int, W: int,
     return tuple(tuple(m) for m in merged), tuple(pads)
 
 
+@functools.lru_cache(maxsize=128)
+def perm_runs_by_window(window: Tuple[int, int, int], D: int, H: int,
+                        W: int, Npad: int, shift: Tuple[int, int, int]):
+    """Forward-shift runs grouped by DESTINATION window, for the
+    in-kernel-shift block kernel (swin_block_attn._block_kernel_wm_shift):
+    per dst window w, a dst-sorted tuple of (dst_off, src, length) with
+    dst_off relative to the window start, covering exactly [0, N).
+    ``src`` stays in the flat [nW * Npad] row space."""
+    wd, wh, ww = window
+    nW = (H // wh) * (W // ww)
+    N = wd * wh * ww
+    runs, _pads = _perm_runs(window, D, H, W, Npad, tuple(shift), False)
+    by_w: List[List[Tuple[int, int, int]]] = [[] for _ in range(nW)]
+    for dst, src, ln in runs:
+        while ln > 0:  # merged runs can straddle windows when Npad == N
+            w = dst // Npad
+            take = min(ln, (w + 1) * Npad - dst)
+            by_w[w].append((dst - w * Npad, src, take))
+            dst, src, ln = dst + take, src + take, ln - take
+    out = []
+    for w, lst in enumerate(by_w):
+        lst.sort()
+        assert sum(r[2] for r in lst) == N and lst[0][0] == 0, (w, lst)
+        out.append(tuple(lst))
+    return tuple(out)
+
+
 def _perm_kernel(x_ref, o_ref, *, runs, pads):
     for dst, src, ln in runs:
         o_ref[0, dst:dst + ln, :] = x_ref[0, src:src + ln, :]

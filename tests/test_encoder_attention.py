@@ -151,3 +151,93 @@ def test_train_kernel_dropout_mask_consistency():
     for a, b in zip(gt, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=3e-4)
+
+
+# --------------------------------------------------------------------------
+# Whole attention sub-block kernel (qkv + attention + proj + residual + LN)
+# --------------------------------------------------------------------------
+
+
+def _mk_block(B, L, C, nH, seed=0):
+    g = np.random.RandomState(seed)
+    x = jnp.asarray(g.randn(B, L, C).astype(np.float32) * 0.5)
+    mk = lambda *s: jnp.asarray(g.randn(*s).astype(np.float32) * 0.1)
+    keep = g.rand(B, L) > 0.2
+    keep[:, 0] = True
+    mask = jnp.asarray(np.where(keep[:, None, :], 0.0, -1e9)
+                       .astype(np.float32))
+    mask = jnp.broadcast_to(mask, (B, L, L))
+    return (x, mk(C, C), mk(C, C), mk(C, C), mk(C), mk(C), mk(C),
+            mk(C, C), mk(C), 1.0 + 0.1 * mk(C), 0.1 * mk(C), mask)
+
+
+@pytest.mark.parametrize("L", [48, 43])
+def test_attn_block_kernel_matches_reference(L):
+    """fused_bert_attn_block (whole sub-block in one pallas_call) ==
+    the module-math oracle, incl. the L % 8 != 0 pad path."""
+    from lavender_tpu.ops.encoder_attention import (
+        bert_attn_block_reference, fused_bert_attn_block)
+    B, C, nH = 2, 32, 2
+    args = _mk_block(B, L, C, nH, seed=3)
+    want = bert_attn_block_reference(*args, nH, (C // nH) ** -0.5, 1e-12)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_bert_attn_block(*args, nH, (C // nH) ** -0.5, 1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_attn_block_gradients_match_reference():
+    from lavender_tpu.ops.encoder_attention import (
+        bert_attn_block_reference, fused_bert_attn_block)
+    B, L, C, nH = 1, 24, 16, 2
+    args = _mk_block(B, L, C, nH, seed=4)
+    scale = (C // nH) ** -0.5
+
+    def loss_ref(x, wq, wproj):
+        a = (x, wq) + args[2:7] + (wproj,) + args[8:]
+        return jnp.sum(bert_attn_block_reference(*a, nH, scale, 1e-12) ** 2)
+
+    def loss_fused(x, wq, wproj):
+        a = (x, wq) + args[2:7] + (wproj,) + args[8:]
+        return jnp.sum(fused_bert_attn_block(*a, nH, scale, 1e-12) ** 2)
+
+    gw = jax.grad(loss_ref, argnums=(0, 1, 2))(args[0], args[1], args[7])
+    with pltpu.force_tpu_interpret_mode():
+        gg = jax.grad(loss_fused, argnums=(0, 1, 2))(
+            args[0], args[1], args[7])
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_attn_block_module_wiring():
+    """BertAttention routes through the whole-sub-block kernel on the
+    serving path (bf16 + deterministic + LVT_FORCE_FUSED) and matches
+    the module path."""
+    import os
+    from lavender_tpu.config import BertConfig
+    from lavender_tpu.models.bert import BertAttention, \
+        extended_attention_mask
+    cfg = BertConfig(hidden_size=32, num_attention_heads=2,
+                     num_hidden_layers=1, intermediate_size=64,
+                     fused_attn=True)
+    cfg_off = BertConfig(hidden_size=32, num_attention_heads=2,
+                         num_hidden_layers=1, intermediate_size=64,
+                         fused_attn=False)
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.randn(2, 20, 32).astype(np.float32))
+    am = extended_attention_mask(
+        jnp.asarray(g.rand(2, 20) > 0.2, jnp.int32), jnp.float32)
+    m_on = BertAttention(cfg, dtype=jnp.bfloat16)
+    m_off = BertAttention(cfg_off, dtype=jnp.bfloat16)
+    params = m_off.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), am)
+    want = m_off.apply(params, x.astype(jnp.bfloat16), am)
+    os.environ["LVT_FORCE_FUSED"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = m_on.apply(params, x.astype(jnp.bfloat16), am)
+    finally:
+        os.environ.pop("LVT_FORCE_FUSED", None)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2)

@@ -415,3 +415,69 @@ def test_backbone_wm_window12_like_no_tail_pad():
         got = mw.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_inkernel_shift_kernel_matches_composition():
+    """fused_swin_block_wm_shifted (cyclic shift fused into the kernel:
+    gather windows from the unshifted slab, scatter outputs back) ==
+    the wm_shift -> wm block -> inverse wm_shift composition it replaces,
+    values and gradients, Npad > N and Npad == N."""
+    from lavender_tpu.ops.swin_block_attn import (
+        _wm_shifted_ref, fused_swin_block_wm_shifted,
+        supports_inkernel_shift)
+    from lavender_tpu.models.swin3d import compute_shift_mask_jnp
+
+    for window, spatial, Cc in (((2, 2, 3), (2, 4, 6), 16),
+                                ((2, 2, 4), (2, 4, 8), 16)):
+        g = np.random.RandomState(0)
+        D, H, W = spatial
+        nW = (H // window[1]) * (W // window[2])
+        N = int(np.prod(window))
+        Npad = _round8(N)
+        nH = 2
+        shift = (0, 1, 1)
+        assert supports_inkernel_shift(window, spatial, Npad, Cc, nH, nW)
+        B = 2
+        x = jnp.asarray(g.randn(B, nW, Npad, Cc).astype(np.float32))
+        x = x.at[:, :, N:].set(0.0)
+        ln_s = 1.0 + 0.1 * jnp.asarray(g.randn(Cc).astype(np.float32))
+        ln_b = 0.1 * jnp.asarray(g.randn(Cc).astype(np.float32))
+        wqkv = jnp.asarray(g.randn(Cc, 3 * Cc).astype(np.float32) * 0.1)
+        bqkv = jnp.asarray(g.randn(3 * Cc).astype(np.float32) * 0.1)
+        wproj = jnp.asarray(g.randn(Cc, Cc).astype(np.float32) * 0.1)
+        bproj = jnp.asarray(g.randn(Cc).astype(np.float32) * 0.1)
+        bias = jnp.asarray(g.randn(nH, Npad, Npad).astype(np.float32) * 0.1)
+        if Npad > N:
+            bias = bias.at[:, :, N:].set(-100.0)
+        mask = compute_shift_mask_jnp(D, H, W, window, shift)
+        scale = (Cc // nH) ** -0.5
+        args = (x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias, mask)
+        statics = (spatial, window, shift, nH, scale, 1e-5)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_swin_block_wm_shifted(*args, *statics)
+        want = _wm_shifted_ref(*args, *statics)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=3e-5)
+        # pad rows come out zeroed, exactly like the wm_shift pair
+        if Npad > N:
+            assert float(jnp.abs(got[:, :, N:]).max()) == 0.0
+
+        def f_kernel(x, wqkv, wproj, bias):
+            y = fused_swin_block_wm_shifted(
+                x, ln_s, ln_b, wqkv, bqkv, wproj, bproj, bias, mask,
+                *statics)
+            return jnp.sum(y[:, :, :N] ** 2)
+
+        def f_ref(x, wqkv, wproj, bias):
+            y = _wm_shifted_ref(x, ln_s, ln_b, wqkv, bqkv, wproj, bproj,
+                                bias, mask, *statics)
+            return jnp.sum(y[:, :, :N] ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gk = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(
+                x, wqkv, wproj, bias)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, wqkv, wproj, bias)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
