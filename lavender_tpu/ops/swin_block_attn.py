@@ -72,6 +72,13 @@ _EPI = __import__("os").environ.get("LVT_EPI", "1") == "1"
 # TPU A/B: 460.9 vs 435.6 clips/s serving (+5.8%) — default ON.
 _PSHIFT = __import__("os").environ.get("LVT_PSHIFT", "1") == "1"
 
+# LVT_COREBWD: route the wm blocks' custom_vjp backward through the
+# flash attention core (ops/swin_core_attn.py — Pallas fwd+bwd, scores/
+# probs VMEM-only) instead of the pure-XLA _wm_ref_native recompute,
+# whose HBM-materialized f32 scores+probs made the Swin backward 5.3x
+# the forward (PERF.md round-3 train decomposition).
+_COREBWD = __import__("os").environ.get("LVT_COREBWD", "1") == "1"
+
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
@@ -1283,18 +1290,57 @@ def _wm_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
     return y
 
 
+def _wm_ref_core(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+                 mask, spatial, window, nH, attn_scale, eps):
+    """Backward recompute path with a FLASH attention core.
+
+    Same math and argument/gradient semantics as _wm_ref_native, but the
+    softmax sandwich runs through ``swin_core_attn`` (a custom_vjp whose
+    forward AND backward are Pallas kernels keeping the [Npad, Npad]
+    scores/probs in VMEM); LN / qkv / proj stay XLA dense dots, which is
+    where XLA is already optimal.  LN+qkv run on the full padded slab —
+    pad rows' cotangents are exact zeros (the valid-row slice below
+    zero-pads them in the vjp), so their garbage forward values
+    contribute nothing, exactly like _wm_ref_native's identity rows."""
+    B, nW, Npad, C = x_wm.shape
+    N = int(np.prod(window))
+    from lavender_tpu.ops.swin_core_attn import swin_core_attn
+    h = x_wm.astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=-1, keepdims=True)
+    h = (h - mu) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
+    h = h.astype(x_wm.dtype)
+    qkv = jnp.einsum("bwnc,cd->bwnd", h, wqkv)
+    if bqkv is not None:
+        qkv = qkv + bqkv
+    with_mask = mask is not None
+    m = mask if with_mask else jnp.zeros((1, Npad, Npad), x_wm.dtype)
+    o = swin_core_attn(qkv, bias, m, with_mask, nH, attn_scale)
+    ov = o[:, :, :N]
+    proj = jnp.einsum("bwnc,cd->bwnd", ov, wproj,
+                      preferred_element_type=jnp.float32) \
+        + bproj.astype(jnp.float32)
+    y = x_wm[:, :, :N] + proj.astype(x_wm.dtype)
+    if Npad > N:
+        y = jnp.concatenate([y, x_wm[:, :, N:]], axis=2)
+    return y
+
+
 def _wm_full_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
                         bias, mask, n2_scale, n2_bias, w1, b1, w2, b2,
-                        spatial, window, nH, attn_scale, eps):
+                        spatial, window, nH, attn_scale, eps,
+                        attn_ref=None):
     """wm-native oracle of the whole block (attention + LN2/MLP), the
     fused_swin_block_wm_full backward's recompute path.  The MLP runs on
     the VALID rows only (pad rows stay identity, matching _wm_full_ref's
-    gradient semantics)."""
+    gradient semantics).  ``attn_ref`` lets _wm_full_bwd swap in the
+    flash-core recompute (_wm_ref_core) under LVT_COREBWD."""
     from lavender_tpu.ops.fused_mlp import ln_mlp_reference
     B, nW, Npad, C = x_wm.shape
     N = int(np.prod(window))
-    y = _wm_ref_native(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
-                       bias, mask, spatial, window, nH, attn_scale, eps)
+    attn_ref = attn_ref or _wm_ref_native
+    y = attn_ref(x_wm, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                 bias, mask, spatial, window, nH, attn_scale, eps)
     yv = y[:, :, :N]
     flat = yv.reshape(-1, C)
     out = flat + ln_mlp_reference(
@@ -1328,8 +1374,9 @@ def _wm_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
 
 
 def _wm_bwd(spatial, window, nH, attn_scale, eps, res, g):
+    ref = _wm_ref_core if _COREBWD else _wm_ref_native
     _, vjp = jax.vjp(
-        lambda *a: _wm_ref_native(*a, spatial, window, nH, attn_scale, eps),
+        lambda *a: ref(*a, spatial, window, nH, attn_scale, eps),
         *res)
     return vjp(g)
 
@@ -1372,9 +1419,10 @@ def _wm_full_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
 
 
 def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
+    attn_ref = _wm_ref_core if _COREBWD else _wm_ref_native
     _, vjp = jax.vjp(
         lambda *a: _wm_full_ref_native(*a, spatial, window, nH, attn_scale,
-                                       eps),
+                                       eps, attn_ref=attn_ref),
         *res)
     return vjp(g)
 
