@@ -356,8 +356,17 @@ def run_caption(cfg: RunConfig, tok):
                                         f"predictions_ep{e + 1}.tsv"))
         agent.log["ls_tr"].append(ls)
         agent.log["metrics_vl"].append(metrics)
+        # the reference evaluates the test split each epoch too
+        # (main_caption.py:182-217, val_yaml AND test_yaml)
+        metrics_ts = None
+        if dl_ts is not None:
+            metrics_ts = eval_captions(
+                dl_ts, predict_file=op.join(
+                    cfg.path_output, f"predictions_test_ep{e + 1}.tsv"))
+            agent.log["metrics_ts"].append(metrics_ts)
         agent.save_model(e + 1)
-        agent.logger.info(f"Ep {e + 1}: loss {ls:.4f} {metrics}")
+        agent.logger.info(
+            f"Ep {e + 1}: loss {ls:.4f} vl {metrics} ts {metrics_ts}")
     return dict(agent.log)
 
 
@@ -582,7 +591,7 @@ def run_multi_task_mlm(cfg: RunConfig, tok):
         step_fn = evals[kind]
         for batch in dl:
             batch = _prep_batch(kind, batch)
-            db = agent.batch_to_device(batch)
+            db = agent.eval_batch(batch)
             out = step_fn({"params": eval_p},
                           *[db[k] for k in eval_keys[kind]])
             ac = out[0] if kind == "qaoe" else out[-1]
@@ -744,7 +753,7 @@ def run_multi_task_multi_head(cfg: RunConfig, tok):
             else:
                 accs = []
                 for batch in dl:
-                    db = agent.batch_to_device(_prep(kind, batch))
+                    db = agent.eval_batch(_prep(kind, batch))
                     out = evals[name]({"params": eval_p}, db)
                     ac = out[-1] if isinstance(out, tuple) else out
                     accs.extend(np.asarray(ac, np.float64).ravel().tolist())
@@ -789,6 +798,7 @@ def run_retrieval_ts(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderTS,
         txt_len=_sample_txt_len(datasets), head_out=1)
+    variables = _maybe_reinit_head(cfg, variables, 1)
     from lavender_tpu.parallel import mesh as pmesh
     agent = Agent(
         cfg, model, variables,
@@ -811,6 +821,7 @@ def run_qamc_ts(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderTS,
         txt_len=_sample_txt_len(datasets), head_out=cfg.data.size_option)
+    variables = _maybe_reinit_head(cfg, variables, cfg.data.size_option)
     agent = Agent(
         cfg, model, variables, loss_fn=ts.make_cls_loss(model),
         eval_step=_wrap_eval(ts.make_cls_eval(model),
@@ -831,6 +842,7 @@ def run_qaoe_ts(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderTS,
         txt_len=_sample_txt_len(datasets), head_out=cfg.data.size_vocab)
+    variables = _maybe_reinit_head(cfg, variables, cfg.data.size_vocab)
     agent = Agent(
         cfg, model, variables, loss_fn=ts.make_cls_loss(model),
         eval_step=_wrap_eval(ts.make_cls_eval(model),
@@ -850,6 +862,7 @@ def run_retmc_ts(cfg: RunConfig, tok):
     model, variables = _build_model(
         cfg, tok, model_cls=ts.LavenderTS,
         txt_len=_sample_txt_len(datasets), head_out=1)
+    variables = _maybe_reinit_head(cfg, variables, 1)
     agent = Agent(
         cfg, model, variables, loss_fn=ts.make_retmc_ts_loss(model),
         eval_step=_wrap_eval(ts.make_retmc_ts_eval(model),
@@ -914,9 +927,33 @@ def _stable_vid(v) -> int:
     return int(v)
 
 
+def _maybe_reinit_head(cfg: RunConfig, variables, head_out: int):
+    """``args.reinit_head`` equivalent (utils/args.py:71): re-randomize the
+    task head after a checkpoint load, as every *_task_specific main does
+    (e.g. main_qaoe_task_specific.py:169-170)."""
+    if not (cfg.extra.get("reinit_head") and cfg.path_ckpt):
+        return variables
+    from lavender_tpu.tasks import task_specific as ts
+    params = ts.reinit_head(dict(variables["params"]),
+                            cfg.model.hidden_size, head_out,
+                            seed=cfg.train.seed)
+    LOGGER.info("reinit_head: task head re-randomized")
+    return {"params": params}
+
+
 def _wrap_eval(step, keys):
+    """Adapt a positional eval step to (variables, batch) and, under a
+    mesh, commit its batch args to the data axis via make_eval_forward so
+    per-epoch evals run DataParallel over the whole mesh (round-3 weak #5;
+    reference parity: eval_retrieval_mlm.py:133)."""
+    from lavender_tpu.parallel import mesh as pmesh
+    from lavender_tpu.train import trainer
+    mesh = pmesh.global_mesh()
+    fwd = trainer.make_eval_forward(step, mesh=mesh) if mesh is not None \
+        else step
+
     def eval_step(variables, batch):
-        return step(variables, *[batch[k] for k in keys])
+        return fwd(variables, *[batch[k] for k in keys])
     return eval_step
 
 
@@ -942,6 +979,8 @@ def main(argv=None):
         cfg.extra["size_test"] = _raw["size_test"]
     if "rerank_top_k" in _raw:
         cfg.extra["rerank_top_k"] = _raw["rerank_top_k"]
+    if "reinit_head" in _raw:
+        cfg.extra["reinit_head"] = bool(_raw["reinit_head"])
     if args.path_ckpt:
         cfg.path_ckpt = args.path_ckpt
     if args.path_output:

@@ -133,11 +133,16 @@ class CompositeTSVFile:
 
 
 def tsv_writer(rows, tsv_path: str, sep: str = "\t"):
-    """Atomic TSV writer with .lineidx (cf. utils/tsv_file_ops.py:34-79)."""
+    """Atomic TSV writer with .lineidx + .lineidx.8b sidecars
+    (cf. utils/tsv_file_ops.py:34-79; the .8b file holds the same offsets
+    as little-endian uint64 — the reference's binary index format)."""
     lineidx_path = op.splitext(tsv_path)[0] + ".lineidx"
+    idx8b_path = lineidx_path + ".8b"
     tmp_tsv, tmp_idx = tsv_path + ".tmp", lineidx_path + ".tmp"
+    tmp_8b = idx8b_path + ".tmp"
     os.makedirs(op.dirname(op.abspath(tsv_path)), exist_ok=True)
-    with open(tmp_tsv, "wb") as ftsv, open(tmp_idx, "w") as fidx:
+    with open(tmp_tsv, "wb") as ftsv, open(tmp_idx, "w") as fidx, \
+            open(tmp_8b, "wb") as f8b:
         pos = 0
         for row in rows:
             line = sep.join(str(v) if not isinstance(v, bytes)
@@ -145,9 +150,11 @@ def tsv_writer(rows, tsv_path: str, sep: str = "\t"):
             data = line.encode("utf-8")
             ftsv.write(data)
             fidx.write(f"{pos}\n")
+            f8b.write(pos.to_bytes(8, "little"))
             pos += len(data)
     os.replace(tmp_tsv, tsv_path)
     os.replace(tmp_idx, lineidx_path)
+    os.replace(tmp_8b, idx8b_path)
 
 
 def tsv_reader(tsv_path: str, sep: str = "\t"):

@@ -1358,7 +1358,11 @@ def fused_swin_block_wm(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
 
     x: [B, nW, Npad, C]; bias: [nH, Npad, Npad] (rel_pos_bias_wm);
     mask: [nW, N, N] additive (already-shifted windows) or None;
-    spatial/window static for the backward reference."""
+    spatial/window static for the backward reference.
+
+    Gradient contract: under LVT_COREBWD the MASK cotangent is hard zero
+    (masks here are trace-time geometry constants, never learnable); do
+    not pass a learnable/content-dependent mask through this entry."""
     return _fused_block_forward_wm(x, ln_scale, ln_bias, wqkv, bqkv,
                                    wproj, bproj, bias, mask, nH,
                                    attn_scale, eps)
@@ -1373,8 +1377,19 @@ def _wm_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask,
                  mask)
 
 
+def _use_core_bwd(x, nH) -> bool:
+    """LVT_COREBWD gate + the backward kernel's true-VMEM fit check
+    (ADVICE round 3: a geometry passing the forward-slab check can
+    overflow VMEM in backward — fall back to the XLA recompute there)."""
+    if not _COREBWD:
+        return False
+    from lavender_tpu.ops.swin_core_attn import core_bwd_supported
+    Npad, C = x.shape[-2], x.shape[-1]
+    return core_bwd_supported(Npad, C, nH, x.dtype.itemsize)
+
+
 def _wm_bwd(spatial, window, nH, attn_scale, eps, res, g):
-    ref = _wm_ref_core if _COREBWD else _wm_ref_native
+    ref = _wm_ref_core if _use_core_bwd(res[0], nH) else _wm_ref_native
     _, vjp = jax.vjp(
         lambda *a: ref(*a, spatial, window, nH, attn_scale, eps),
         *res)
@@ -1419,7 +1434,7 @@ def _wm_full_fwd(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
 
 
 def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
-    attn_ref = _wm_ref_core if _COREBWD else _wm_ref_native
+    attn_ref = _wm_ref_core if _use_core_bwd(res[0], nH) else _wm_ref_native
     _, vjp = jax.vjp(
         lambda *a: _wm_full_ref_native(*a, spatial, window, nH, attn_scale,
                                        eps, attn_ref=attn_ref),

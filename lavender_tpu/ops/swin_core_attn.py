@@ -67,6 +67,48 @@ def _pick_group(nW: int, Npad: int, C3: int) -> int:
     return G
 
 
+_BWD_VMEM_BUDGET = 12 * 1024 * 1024  # of the ~16 MB/core, with headroom
+
+
+def _bwd_working_set(g: int, Npad: int, C3: int, nH: int,
+                     itemsize: int) -> int:
+    """True VMEM bytes of the backward kernel at group size g.
+
+    Unlike the forward (sized on the qkv slab alone), the backward
+    additionally holds the do and dqkv slabs, the bias block, the f32
+    dbias accumulator, the mask block, and the f32 s/e/p/dp/ds
+    temporaries (ADVICE round 3: sizing on the forward slab alone can
+    overflow VMEM at stage-3-like geometry)."""
+    C = C3 // 3
+    # double-buffered grid-mapped slabs: qkv in, do in, dqkv out, mask in
+    slabs = 2 * g * Npad * (C3 + C + C3) * itemsize
+    mask_blk = 2 * g * Npad * Npad * itemsize
+    # constant-index blocks (single-buffered): bias in, f32 dbias out
+    fixed = nH * Npad * Npad * (itemsize + 4)
+    # f32 per-(window,head) temporaries (s/e/p share ~3 live [Np,Np]
+    # buffers; dp/ds two more; +1 slack for Mosaic scheduling)
+    temps = 6 * Npad * Npad * 4
+    return slabs + mask_blk + fixed + temps
+
+
+def _pick_group_bwd(nW: int, Npad: int, C3: int, nH: int,
+                    itemsize: int) -> int:
+    G = 1
+    for g in range(1, 5):
+        if nW % g == 0 and \
+                _bwd_working_set(g, Npad, C3, nH, itemsize) <= \
+                _BWD_VMEM_BUDGET:
+            G = g
+    return G
+
+
+def core_bwd_supported(Npad: int, C: int, nH: int, itemsize: int) -> bool:
+    """Whether the backward kernel fits VMEM even at G=1 — callers
+    (swin_block_attn._wm_bwd) fall back to the XLA recompute when not."""
+    return _bwd_working_set(1, Npad, 3 * C, nH, itemsize) <= \
+        _BWD_VMEM_BUDGET
+
+
 def _core_fwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, *, G: int,
                      Npad: int, C: int, nH: int, scale2: float,
                      with_mask: bool):
@@ -224,7 +266,10 @@ def _core_bwd_call(qkv: Array, do: Array, bias: Array,
     dt = qkv.dtype
     with_mask = mask is not None
     bias_p, m = _prep(bias, mask, Npad, dt)
-    G = _pick_group(nW, Npad, C3)
+    G = _pick_group_bwd(nW, Npad, C3, nH, dt.itemsize)
+    assert core_bwd_supported(Npad, C, nH, dt.itemsize), (
+        f"swin_core_attn backward working set exceeds VMEM even at G=1 "
+        f"(Npad={Npad}, C={C}, nH={nH}); gate via core_bwd_supported")
     grid, slab, full, mask_spec = _specs(B, nW, Npad, C, nH, with_mask, G)
     kernel = functools.partial(
         _core_bwd_kernel, G=G, Npad=Npad, C=C, nH=nH,
@@ -281,7 +326,13 @@ def swin_core_attn(qkv: Array, bias: Array, mask: Array, with_mask: bool,
 
     qkv [B, nW, Npad, 3C]; bias [nH, Npad, Npad] (natural units);
     mask [nW, N, N] additive when with_mask else a dummy array (its
-    cotangent is ZERO by design — see module docstring)."""
+    cotangent is ZERO by design — see module docstring).
+
+    PRECONDITION (Npad > N): the caller must bake a strongly-negative
+    value (rel_pos_bias_wm uses -100) into the pad-KEY columns
+    ``bias[:, :, N:]`` — this kernel does not mask pad keys itself, so an
+    unpadded/zero-padded bias would leak pad-key attention (the pure-JAX
+    ``_wm_ref_native`` is structurally immune; this boundary is not)."""
     return _core_fwd_call(qkv, bias, mask if with_mask else None, nH,
                           scale)
 

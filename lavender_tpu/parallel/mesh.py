@@ -64,26 +64,63 @@ _PARAM_RULES = (
 )
 
 
+def _path_key(path) -> str:
+    return "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+
+
+def _rule_spec(key: str, ndim: int) -> P:
+    """TP spec for a param-path suffix (P() when no rule matches).
+
+    Scanned stages stack params with extra leading axes (blocks_scan); the
+    spec is padded with leading Nones to the leaf's ndim."""
+    for pat, spec in _PARAM_RULES:
+        if pat.search(key):
+            extra = ndim - len(spec)
+            if extra > 0:
+                spec = P(*((None,) * extra + tuple(spec)))
+            return spec
+    return P()
+
+
 def param_pspecs(params) -> Any:
     """PartitionSpec pytree for the model params under (data, model)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
-    def spec_for(path, leaf) -> P:
-        key = "/".join(
-            p.key if hasattr(p, "key") else str(p) for p in path)
-        for pat, spec in _PARAM_RULES:
-            if pat.search(key):
-                # scanned stages stack params with extra leading axes
-                # (blocks_scan); pad the spec with leading Nones
-                extra = getattr(leaf, "ndim", len(spec)) - len(spec)
-                if extra > 0:
-                    spec = P(*((None,) * extra + tuple(spec)))
-                return spec
-        return P()
-
+    flat, tree = jax.tree_util.tree_flatten_with_path(params)
     return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(params),
-        [spec_for(path, leaf) for path, leaf in flat])
+        tree,
+        [_rule_spec(_path_key(path), getattr(leaf, "ndim", 0))
+         for path, leaf in flat])
+
+
+def opt_state_pspecs(opt_state, mesh: Mesh) -> Any:
+    """ZeRO-1 PartitionSpecs for the optimizer state.
+
+    The reference shards optimizer state across ranks via DeepSpeed ZeRO
+    stage 1 (utils/deepspeed.py:42-44, engaged at agent.py:252-259).  The
+    pjit equivalent: every AdamW moment leaf keeps its param's TP spec and
+    is ADDITIONALLY sharded over the data axis along the first free
+    (unsharded) dimension divisible by dp — each device then holds 1/dp of
+    m/v and XLA gathers the per-shard updates on use.  Scalars (step
+    counts) and leaves with no dp-divisible free axis stay replicated.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    flat, tree = jax.tree_util.tree_flatten_with_path(opt_state)
+    specs = []
+    for path, leaf in flat:
+        shape = tuple(getattr(leaf, "shape", ()))
+        ndim = len(shape)
+        if ndim == 0:
+            specs.append(P())
+            continue
+        spec = list(_rule_spec(_path_key(path), ndim)) + [None] * ndim
+        spec = spec[:ndim]
+        if dp > 1:
+            for ax in range(ndim):
+                if spec[ax] is None and shape[ax] % dp == 0 \
+                        and shape[ax] >= dp:
+                    spec[ax] = DATA_AXIS
+                    break
+        specs.append(P(*spec))
+    return jax.tree_util.tree_unflatten(tree, specs)
 
 
 def shard_params(params, mesh: Mesh):

@@ -94,6 +94,24 @@ class LavenderMultiHead(LavenderTS):
                               deterministic=deterministic)
 
 
+def reinit_head(params: dict, hidden_size: int, head_out: int,
+                seed: int = 0, name: str = "fc") -> dict:
+    """Re-randomize a task head after a checkpoint load — the reference's
+    ``model.reinit_head()`` (main_qaoe_task_specific.py:84-90,
+    main_qamc_task_specific.py:92, main_retmc_task_specific.py:68; engaged
+    by ``args.reinit_head``).  Only the *_task_specific classes define it
+    in the reference (the MLM mains' call sites would crash — one of the
+    documented breakages, SURVEY §1); here it applies to any MLPHead
+    subtree by name."""
+    fresh = MLPHead(hidden_size, head_out).init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, hidden_size), jnp.float32))["params"]
+    out = dict(params)
+    assert name in out, f"no head {name!r} in params"
+    out[name] = fresh
+    return out
+
+
 def retrieval_ts_scores(model: LavenderTS, variables, img, txt, mask,
                         temp: float = 1.0, deterministic=True, rngs=None,
                         group: int = 1):

@@ -65,7 +65,17 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     # Explicit shardings (round-1 weak #7): don't rely on input placement —
     # params restored from Orbax or bf16-cast lose their sharding, and a
     # committed constraint keeps XLA from silently replicating TP params.
+    # Optimizer state is additionally data-axis sharded (ZeRO-1; the
+    # reference's DeepSpeed stage 1, utils/deepspeed.py:42-44) — see
+    # pmesh.opt_state_pspecs.
     batch_sharding = NamedSharding(mesh, P(pmesh.DATA_AXIS))
+
+    def _constrain_opt(opt_state):
+        opt_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s),
+            pmesh.opt_state_pspecs(opt_state, mesh))
+        return jax.tree_util.tree_map(
+            jax.lax.with_sharding_constraint, opt_state, opt_shardings)
 
     @functools.partial(
         jax.jit, donate_argnums=(0,) if donate else ())
@@ -75,7 +85,8 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
             pmesh.param_pspecs(state.params))
         params = jax.tree_util.tree_map(
             jax.lax.with_sharding_constraint, state.params, param_shardings)
-        state = state.replace(params=params)
+        state = state.replace(params=params,
+                              opt_state=_constrain_opt(state.opt_state))
         batch = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
             batch)
@@ -83,9 +94,28 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         new_params = jax.tree_util.tree_map(
             jax.lax.with_sharding_constraint, new_state.params,
             param_shardings)
-        return new_state.replace(params=new_params), loss
+        return new_state.replace(
+            params=new_params,
+            opt_state=_constrain_opt(new_state.opt_state)), loss
 
     return sharded_step
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Eagerly place a freshly-created train state on the mesh: params by
+    the TP rules, optimizer state by the ZeRO-1 specs — so per-device
+    memory shrinks from step 0, not only after the first constrained step.
+    Single-process only (multi-process states flow through the in-jit
+    constraints, which handle global arrays)."""
+    if jax.process_count() > 1:
+        return state
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state.params, pmesh.param_pspecs(state.params))
+    opt_state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state.opt_state, pmesh.opt_state_pspecs(state.opt_state, mesh))
+    return state.replace(params=params, opt_state=opt_state)
 
 
 def make_eval_forward(forward_fn: Callable, mesh: Optional[Mesh] = None):

@@ -132,6 +132,9 @@ def test_cli_caption(data_dir, tmp_path):
                 "--path_output", str(tmp_path)])
     assert np.isfinite(log["ls_tr"][0])
     assert "CIDEr" in log["metrics_vl"][0]
+    # the reference evaluates the TEST split each epoch too
+    # (main_caption.py:182-217) — both splits' metrics must exist
+    assert "CIDEr" in log["metrics_ts"][0]
 
 
 def test_cli_multi_task(data_dir, tmp_path):

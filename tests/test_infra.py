@@ -24,6 +24,13 @@ def test_tsv_roundtrip(tmp_path):
     assert tsv.num_rows() == 7
     assert tsv[3] == rows[3]
     assert tsv.get_key(6) == "key6"
+    # .lineidx.8b sidecar: little-endian uint64 offsets matching .lineidx
+    # (utils/tsv_file_ops.py:36-69)
+    import numpy as np
+    with open(str(tmp_path / "x.lineidx")) as f:
+        offs = [int(l) for l in f if l.strip()]
+    raw = np.fromfile(str(tmp_path / "x.lineidx.8b"), dtype="<u8")
+    assert raw.tolist() == offs
     # lineidx regeneration
     import os
     os.remove(str(tmp_path / "x.lineidx"))

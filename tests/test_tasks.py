@@ -289,3 +289,43 @@ def test_warmup_linear_schedule():
     assert float(sched(10)) == pytest.approx(1.0)
     assert float(sched(55)) == pytest.approx(0.5)
     assert float(sched(100)) == pytest.approx(1e-8)
+
+
+def test_reinit_head(tok):
+    """reinit_head re-randomizes ONLY the task head (the reference's
+    model.reinit_head(), main_qaoe_task_specific.py:84-90)."""
+    from lavender_tpu.tasks import task_specific as ts
+    cfg = ModelConfig(
+        swin=SwinConfig(embed_dim=8, depths=(1, 1, 1, 1),
+                        num_heads=(2, 2, 2, 2), drop_path_rate=0.0),
+        bert=BertConfig(vocab_size=len(tok), hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=4,
+                        intermediate_size=64, max_position_embeddings=64))
+    model = ts.LavenderTS(cfg, head_out=3)
+    img = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    txt = jnp.zeros((1, 8), jnp.int32)
+    variables = jax.jit(lambda r: model.init(
+        r, img, txt, jnp.ones((1, 8), jnp.int32),
+        method=model.init_forward))(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    new = ts.reinit_head(params, 32, 3, seed=7)
+    # head changed, same structure/shapes
+    assert jax.tree_util.tree_structure(new["fc"]) == \
+        jax.tree_util.tree_structure(params["fc"])
+    for a, b in zip(jax.tree_util.tree_leaves(new["fc"]),
+                    jax.tree_util.tree_leaves(params["fc"])):
+        assert a.shape == b.shape
+        if a.size and np.abs(b).sum() > 0:  # kernels: actually re-drawn
+            assert not np.array_equal(a, b)
+    # everything else untouched
+    for k in params:
+        if k == "fc":
+            continue
+        for a, b in zip(jax.tree_util.tree_leaves(new[k]),
+                        jax.tree_util.tree_leaves(params[k])):
+            assert np.array_equal(a, b)
+    # the reinited head still runs
+    out = jax.jit(lambda v: model.apply(
+        v, img, txt, jnp.ones((1, 8), jnp.int32),
+        method=model.cls_head))({"params": new})
+    assert out.shape == (1, 3)
