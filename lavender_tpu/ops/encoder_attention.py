@@ -55,6 +55,15 @@ _ENC_PHASED = __import__("os").environ.get("LVT_PHASED", "0") == "1"
 # BEFORE the dropout mask, which the (p*m) @ v dot cannot provide.
 _PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
 
+# LVT_NOCLAMP (experiment, default OFF — see swin_block_attn.py): drop the
+# exp2 clamp's min pass in the SERVING kernels; train kernels keep it.
+_NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
+
+
+def _pexp(s):
+    import jax.numpy as jnp
+    return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
+
 
 def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     """One grid step = one batch element, all heads (static loop).
@@ -78,7 +87,7 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 ss.append(s + mask)
-            ps = [jnp.exp2(jnp.minimum(s, 115.4156)) for s in ss]
+            ps = [_pexp(s) for s in ss]
             if _PVSUM:
                 for j, h in enumerate(hs):
                     v = v_ref[0, h]
@@ -115,7 +124,7 @@ def _enc_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         # in trained nets); finite near-one-hot above 80; ~0 instead of
         # NaN below ~-85 (all-underflowed row, e.g. a fully-masked padded
         # query row) via the max(l, tiny) guard.  Cap = 80 * log2(e).
-        p = jnp.exp2(jnp.minimum(s, 115.4156))
+        p = _pexp(s)
         if _PVSUM:
             # denominator in the pv dot's idle output lanes (hd of 128):
             # same MXU passes, one fewer [Lp, Lp] VPU pass

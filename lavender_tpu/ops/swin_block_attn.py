@@ -72,6 +72,21 @@ _EPI = __import__("os").environ.get("LVT_EPI", "1") == "1"
 # TPU A/B: 460.9 vs 435.6 clips/s serving (+5.8%) — default ON.
 _PSHIFT = __import__("os").environ.get("LVT_PSHIFT", "1") == "1"
 
+# LVT_NOCLAMP (experiment, default OFF): drop the exp2 clamp's min pass.
+# The clamp only matters for logits > 80 nats (exp2 overflows to inf ->
+# inf/inf NaN through the PVSUM fold); the no-max-subtraction domain
+# argument (logits <= 80 in trained nets) covers the min too, but the
+# clamp is the last safety net, so this stays an A/B flag unless it
+# measures a clear win.
+_NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
+
+
+def _pexp(s):
+    """exp2 with the serving clamp (one fewer [Np, Np] VPU pass when
+    LVT_NOCLAMP)."""
+    return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
+
+
 # LVT_COREBWD: route the wm blocks' custom_vjp backward through the
 # flash attention core (ops/swin_core_attn.py — Pallas fwd+bwd, scores/
 # probs VMEM-only) instead of the pure-XLA _wm_ref_native recompute,
@@ -226,8 +241,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                     if mask_w is not None:
                         s = s + mask_w
                     ss.append(s)
-                ps = [jnp.exp2(jnp.minimum(s, 115.4156)).astype(dt)
-                      for s in ss]
+                ps = [_pexp(s).astype(dt) for s in ss]
                 if _PVSUM:
                     ones = jnp.ones((Np, 8), dt)
                     for j, h in enumerate(hs):
@@ -318,7 +332,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 # exp(s_nat) == exp2(s) with NO per-tile multiply (XLA/
                 # Mosaic lower exp as exp2(x*log2e) — the fold deletes
                 # that [Np, Np] multiply pass).  Cap 80*log2(e).
-                p = jnp.exp2(jnp.minimum(s, 115.4156)).astype(dt)
+                p = _pexp(s).astype(dt)
                 if _EPI:
                     # hd-wide ones block: the MXU emits l ALREADY broadcast
                     # across hd lanes (every ones column sums the same p

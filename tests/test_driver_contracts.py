@@ -20,4 +20,4 @@ def test_dryrun_multichip_driver_style():
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
-    assert "one train step OK" in r.stdout, r.stdout
+    assert "train step OK" in r.stdout, r.stdout
