@@ -44,6 +44,12 @@ from lavender_tpu.config import SwinConfig
 # Kept env-gated OFF (the op is correct and parity-tested).
 _IKS = __import__("os").environ.get("LVT_IKS", "0") == "1"
 
+# LVT_BIASHOIST: build every wm block's rel-pos bias in one vmapped
+# gather before the stage scan (serving path) instead of per block inside
+# it.  Profiled round 4: the in-scan gathers cost 2.2 ms/iter at B=24
+# (VMEM-write-bound [Npad^2, nH] takes in stage 3).  Default ON.
+_BIASHOIST = __import__("os").environ.get("LVT_BIASHOIST", "1") == "1"
+
 Array = jax.Array
 
 
@@ -569,7 +575,7 @@ class SwinBlockWM(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
-                 dp_rate=None) -> Array:
+                 dp_rate=None, bias: Optional[Array] = None) -> Array:
         from lavender_tpu.ops.swin_block_attn import (
             _round8, full_block_fits_vmem, fused_swin_block_wm,
             fused_swin_block_wm_full, fused_swin_block_wm_shifted,
@@ -588,8 +594,13 @@ class SwinBlockWM(nn.Module):
             dim=self.dim, window_size=tuple(self.window_size),
             num_heads=self.num_heads, qkv_bias=True, name="attn")()
 
-        bias = rel_pos_bias_wm(table, tuple(self.window_size),
-                               window_size, Npad, self.dtype)
+        if bias is None:
+            # per-block gather (train / init); the serving path hoists
+            # this out of the block scan — see BasicLayer's wm branch
+            # (measured 2.2 ms/iter of VMEM-write-bound [Npad^2, nH]
+            # gathers inside stage 3's scan, PERF.md round 4)
+            bias = rel_pos_bias_wm(table, tuple(self.window_size),
+                                   window_size, Npad, self.dtype)
         shifted = any(s > 0 for s in shift_size)
         mask = (compute_shift_mask_jnp(D, H, W, window_size, shift_size)
                 if shifted else None)
@@ -648,6 +659,25 @@ class SwinBlockWM(nn.Module):
         return out.astype(self.dtype).reshape(x.shape)
 
 
+def build_serving_bias_cache(model, variables, *example_args,
+                             use_jit: bool = True, **apply_kw):
+    """One deterministic apply with mutable=['cache'] to precompute every
+    wm stage's stacked rel-pos biases OUTSIDE the serving step.
+
+    Returns ``variables`` merged with the new 'cache' collection; pass the
+    result to subsequent applies and the wm block scan reads the prebuilt
+    [n_pairs, nH, Npad, Npad] stacks instead of gathering (profiled
+    round 4: 2.2 ms/iter of in-scan gathers at B=24).  The cache is a pure
+    function of params — REBUILD after any param update (bench.py builds
+    it once after the serving bf16 cast)."""
+    def fn(v, *a):
+        return model.apply(v, *a, mutable=["cache"], **apply_kw)
+    if use_jit:
+        fn = jax.jit(fn)
+    _, cache = fn(variables, *example_args)
+    return {**variables, **cache}
+
+
 class PatchMerging(nn.Module):
     """2x spatial downsample via 4-neighbour concat + linear (video_swin.py:264-287)."""
 
@@ -667,6 +697,11 @@ class PatchMerging(nn.Module):
         x = x.reshape(B, D, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 2, 4, 5, 3, 6)  # [..., pw, ph, C]
         x = x.reshape(B, D, H // 2, W // 2, 4 * C)
+        # barrier: without it XLA hoists LayerNorm's f32 upcast ABOVE the
+        # relayout transposes, doubling every stage-transition copy's
+        # bytes (profiled round 4: 1.75 ms of f32 copies at stage 1 exit
+        # that are bf16-sized work)
+        x = jax.lax.optimization_barrier(x)
         x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
@@ -726,15 +761,22 @@ class _BlockPairWM(nn.Module):
     qk_scale: Optional[float]
     layer_norm_eps: float
     deterministic: bool
+    # biases precomputed outside the scan (BasicLayer's serving hoist);
+    # when False the per-xs bias operands are dummies and each block
+    # gathers its own rel-pos bias from its table
+    use_hoisted_bias: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, dpr: Array):
+    def __call__(self, x: Array, dpr: Array, bias_a: Array = None,
+                 bias_b: Array = None):
         from lavender_tpu.ops.swin_block_attn import (
             supports_inkernel_shift, wm_shift)
         D, H, W = self.spatial
         window_size, shift_size = get_window_size(
             (D, H, W), self.window_size, self.shift)
+        if not self.use_hoisted_bias:
+            bias_a = bias_b = None
         common = dict(
             dim=self.dim, num_heads=self.num_heads,
             window_size=self.window_size, spatial=self.spatial,
@@ -742,7 +784,7 @@ class _BlockPairWM(nn.Module):
             qk_scale=self.qk_scale, layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype)
         x = SwinBlockWM(shift_size=(0, 0, 0), name="a", **common)(
-            x, self.deterministic, dpr[0])
+            x, self.deterministic, dpr[0], bias_a)
         shifted = any(s > 0 for s in shift_size)
         B, nW, Npad, C = x.shape
         iks = (shifted and _IKS
@@ -751,7 +793,8 @@ class _BlockPairWM(nn.Module):
         if shifted and not iks:
             x = wm_shift(x, window_size, D, H, W, shift_size)
         x = SwinBlockWM(shift_size=self.shift, inkernel_shift=iks,
-                        name="b", **common)(x, self.deterministic, dpr[1])
+                        name="b", **common)(x, self.deterministic, dpr[1],
+                                            bias_b)
         if shifted and not iks:
             x = wm_shift(x, window_size, D, H, W, shift_size,
                          inverse=True)
@@ -796,6 +839,37 @@ class BasicLayer(nn.Module):
             dpr_pairs = jnp.asarray(dpr, jnp.float32).reshape(n_pairs, 2)
             Npad = _round8(int(np.prod(window_eff)))
             x = wm_partition(x, window_eff, Npad)
+            # Serving hoist: build every block's rel-pos bias in ONE
+            # vmapped gather BEFORE the scan and feed the [n_pairs, nH,
+            # Npad, Npad] stacks as scan xs.  Inside the scan the gather
+            # runs per block from a dynamically-sliced table at ~38 GB/s
+            # VMEM-write-bound (profiled 2.2 ms/iter at stage 3); outside
+            # it is one wide take.  Inference-only: the train vjp keeps
+            # the per-block gather so dtable flows through the block's
+            # own custom_vjp unchanged.
+            hoist = deterministic and _BIASHOIST \
+                and not self.is_initializing() \
+                and self.has_variable("params", "blocks_scan")
+            if hoist and self.has_variable("cache", "rel_bias_a"):
+                # serving bias cache: prebuilt OUTSIDE the step (see
+                # build_bias_cache) — the step pays zero gather cost
+                bias_a = self.get_variable("cache", "rel_bias_a")
+                bias_b = self.get_variable("cache", "rel_bias_b")
+            elif hoist:
+                from lavender_tpu.ops.swin_block_attn import rel_pos_bias_wm
+                sub = self.get_variable("params", "blocks_scan")
+                bfn = lambda t: rel_pos_bias_wm(
+                    t, tuple(self.window_size), window_eff, Npad,
+                    self.dtype)
+                bias_a = jax.vmap(bfn)(
+                    sub["a"]["attn"]["relative_position_bias_table"])
+                bias_b = jax.vmap(bfn)(
+                    sub["b"]["attn"]["relative_position_bias_table"])
+                if self.is_mutable_collection("cache"):
+                    self.put_variable("cache", "rel_bias_a", bias_a)
+                    self.put_variable("cache", "rel_bias_b", bias_b)
+            else:
+                bias_a = bias_b = jnp.zeros((n_pairs, 1, 1, 1), self.dtype)
             scanned = nn.scan(
                 _BlockPairWM,
                 variable_axes={"params": 0},
@@ -807,8 +881,9 @@ class BasicLayer(nn.Module):
                 shift=shift, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 layer_norm_eps=self.layer_norm_eps,
-                deterministic=deterministic, dtype=self.dtype,
-                name="blocks_scan")(x, dpr_pairs)
+                deterministic=deterministic, use_hoisted_bias=hoist,
+                dtype=self.dtype,
+                name="blocks_scan")(x, dpr_pairs, bias_a, bias_b)
             x = wm_reverse(x, window_eff, D, H, W)
             if self.has_downsample:
                 x = PatchMerging(dim=self.dim,

@@ -481,3 +481,41 @@ def test_inkernel_shift_kernel_matches_composition():
         for a, b in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-5, rtol=1e-4)
+
+
+def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
+    """The serving rel-pos-bias hoist (LVT_BIASHOIST) and the prebuilt
+    serving cache (build_serving_bias_cache) are pure layout moves: all
+    three paths — per-block in-scan gather, vmapped pre-scan gather, and
+    cache-collection read — produce identical backbone outputs."""
+    import lavender_tpu.models.swin3d as swin3d_mod
+    from lavender_tpu.models.swin3d import build_serving_bias_cache
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(11)
+    x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
+    m = VideoSwin3D(cfg)
+    old = swin3d_mod._BIASHOIST
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            variables = m.init(jax.random.PRNGKey(0), x)
+            swin3d_mod._BIASHOIST = False
+            want = m.apply(variables, x)          # per-block gather
+            swin3d_mod._BIASHOIST = True
+            got_hoist = m.apply(variables, x)     # pre-scan vmapped gather
+            vcache = build_serving_bias_cache(m, variables, x,
+                                              use_jit=False)
+            assert "cache" in vcache, "no cache collection built"
+            cache_paths = [
+                jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(vcache["cache"])[0]]
+            assert any("rel_bias_a" in p for p in cache_paths), cache_paths
+            got_cache = m.apply(vcache, x)        # prebuilt cache read
+    finally:
+        swin3d_mod._BIASHOIST = old
+    np.testing.assert_allclose(np.asarray(got_hoist), np.asarray(want),
+                               atol=0, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_cache), np.asarray(want),
+                               atol=0, rtol=0)
