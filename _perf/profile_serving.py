@@ -64,6 +64,11 @@ def main():
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, variables)
+    if not args.train:
+        # match bench.py's shipped serving config: prebuilt bias cache
+        from lavender_tpu.models.swin3d import build_serving_bias_cache
+        variables = build_serving_bias_cache(
+            model, variables, img0[:1], txt[:1], mask[:1])
 
     iters = args.iters
 

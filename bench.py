@@ -134,6 +134,11 @@ def main():
         1, bert.vocab_size, (B, L), np.int32))
     mask = jnp.ones((B, L), jnp.int32)
 
+    # LVT_U8EMB (default ON): serve on RAW u8 frames — the per-channel
+    # normalize is folded into the patch-embed conv weights (linear), so
+    # the [B,T,H,W,3] normalize pass and its f32->bf16 intermediate vanish
+    import os as _os
+    _u8emb = _os.environ.get("LVT_U8EMB", "1") == "1" and not args.train
     img0 = device_normalize(img_u8, dtype=jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0[:1], txt[:1],
                                     mask[:1])
@@ -263,7 +268,10 @@ def main():
 
         @jax.jit
         def fwd(variables, img_u8, txt, mask):
-            img = device_normalize(img_u8, dtype=jnp.bfloat16)
+            if _u8emb:
+                img = img_u8  # normalize folded into the patch embed
+            else:
+                img = device_normalize(img_u8, dtype=jnp.bfloat16)
             return model.apply(variables, img, txt, mask
                                ).astype(jnp.float32).mean()
 
@@ -320,8 +328,20 @@ def main():
         """
 
         def body(carry, _):
-            img = device_normalize(img_u8, dtype=jnp.bfloat16)
-            img = img + (carry * 1e-6).astype(jnp.bfloat16)
+            if _u8emb:
+                # RAW u8 straight into the model (normalize folded into
+                # the patch-embed weights).  The input must DEPEND on the
+                # carry or XLA's while-loop LICM hoists the whole model
+                # out of the scan (measured: a tuple optimization_barrier
+                # is element-wise, did NOT tie them, and the "50-iter"
+                # scan ran the model once — 15.5k fake clips/s).  A
+                # compare against a value the carry never takes is a
+                # runtime zero no pass can fold:
+                zero = (carry == 12345.678).astype(jnp.uint8)
+                img = img_u8 + zero
+            else:
+                img = device_normalize(img_u8, dtype=jnp.bfloat16)
+                img = img + (carry * 1e-6).astype(jnp.bfloat16)
             out = model.apply(variables, img, txt, mask)
             return out.astype(jnp.float32).mean(), None
 

@@ -242,11 +242,31 @@ class BertAttention(nn.Module):
             # head transpose and a single [L, C] slab round-trip, vs the
             # module path's ~4 (ops/encoder_attention.fused_bert_attn_block)
             from lavender_tpu.ops.encoder_attention import (
-                fused_bert_attn_block)
+                fused_bert_attn_block, fused_bert_attn_block_kmask)
             dt = x.dtype
             sp = self.self.variables["params"]
             op = self.output.variables["params"]
             B, L, _ = x.shape
+            import os as _os
+            if (attn_bias.ndim == 4 and attn_bias.shape[-2] == 1
+                    and _os.environ.get("LVT_KMASK", "1") == "1"):
+                # key-padding-only mask ([B,1,1,L] from
+                # extended_attention_mask on a 2D mask): the kmask kernel
+                # deletes the per-head [L, L] mask-add pass (zeroed k/v
+                # rows + scalar denominator correction — exact)
+                keep = (attn_bias[:, 0, 0, :] >= -0.5).astype(jnp.float32)
+                return fused_bert_attn_block_kmask(
+                    x, sp["query"]["kernel"].astype(dt),
+                    sp["key"]["kernel"].astype(dt),
+                    sp["value"]["kernel"].astype(dt),
+                    sp["query"]["bias"].astype(dt),
+                    sp["key"]["bias"].astype(dt),
+                    sp["value"]["bias"].astype(dt),
+                    op["dense"]["kernel"].astype(dt),
+                    op["dense"]["bias"].astype(dt),
+                    op["LayerNorm"]["scale"], op["LayerNorm"]["bias"],
+                    keep, cfg.num_attention_heads,
+                    float(cfg.head_dim) ** -0.5, cfg.layer_norm_eps)
             mask = jnp.broadcast_to(attn_bias, (B, 1, L, L)).reshape(B, L, L)
             return fused_bert_attn_block(
                 x, sp["query"]["kernel"].astype(dt),

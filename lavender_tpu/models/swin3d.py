@@ -956,6 +956,32 @@ class PatchEmbed3D(nn.Module):
         pd, ph, pw = self.patch_size
         pad_w = (pw - W % pw) % pw
         pad_h = (ph - H % ph) % ph
+        conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
+                       strides=(1, ph, pw), padding="VALID",
+                       dtype=self.dtype, name="proj")
+        if (x.dtype == jnp.uint8 and not self.is_initializing()
+                and pad_h == 0 and pad_w == 0 and pd == 2):
+            # RAW-uint8 fast path: XLA lowers normalize+conv(C_in=3) as
+            # one VPU loop fusion (profiled 1.09 ms/iter at B=24 at
+            # 7.9 TF/s — 25x off the MXU).  The conv is linear, so the
+            # per-channel normalize (u/255 - mean)/std folds into the
+            # kernel (scale) and bias (shift); the pixels then go
+            # uint8-space-to-depth (byte-cheap relayout) into ONE
+            # [B*D*h*w, pd*ph*pw*3] @ [., embed_dim] MXU matmul.  The
+            # temporal end-pad frame must contribute normalized ZERO
+            # (reference pads AFTER normalize, video_swin.py:396), so the
+            # kd=1 tap's absorbed shift is added back per output time via
+            # a [D, embed_dim] bias table (exact, not approximate).
+            out = self._u8_embed(x, conv, B, D, H, W, C, pd, ph, pw)
+            if self.patch_norm:
+                out = nn.LayerNorm(epsilon=self.layer_norm_eps,
+                                   dtype=self.dtype, name="norm")(out)
+            return out
+        if x.dtype == jnp.uint8:
+            # u8 input but geometry we don't fold (spatial pad / pd != 2):
+            # normalize on-device and take the legacy path
+            from lavender_tpu.data.transforms import device_normalize
+            x = device_normalize(x, dtype=self.dtype)
         # Reference always pads the temporal axis end by 1 (video_swin.py:396)
         # so with kernel 2 / stride 1 the temporal length is preserved.
         x = jnp.pad(x, ((0, 0), (0, 1), (0, pad_h), (0, pad_w), (0, 0)))
@@ -963,9 +989,6 @@ class PatchEmbed3D(nn.Module):
         # bias) so checkpoints and golden tests are unchanged; the s2d
         # branch is the same math as one dense
         # [B*D*h*w, pd*ph*pw*3] @ [., embed_dim] matmul.
-        conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
-                       strides=(1, ph, pw), padding="VALID",
-                       dtype=self.dtype, name="proj")
         if self.is_initializing() or self.impl == "conv":
             out = conv(x)  # init: create the conv params; same output
         else:
@@ -986,6 +1009,52 @@ class PatchEmbed3D(nn.Module):
                                name="norm")(out)
         return out
 
+    def _u8_embed(self, x: Array, conv, B, D, H, W, C, pd, ph, pw) -> Array:
+        """s2d + normalize-folded MXU matmul on raw uint8 frames.
+
+        Exact contract: equals device_normalize(x) -> temporal-zero-pad ->
+        conv, up to float reassociation (test_patch_embed_u8_matches_
+        normalize_conv).  feat channel order (kd, ph, pw, c) matches the
+        DHWIO kernel's reshape order."""
+        from lavender_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        h2, w2 = H // ph, W // pw
+        # u8 space-to-depth: 1-byte relayout, then one concat for the
+        # kd taps (kernel 2 / stride 1 pairs frame t with t+1; the end
+        # pad frame is u8 zeros, corrected below)
+        xs = x.reshape(B, D, h2, ph, w2, pw, C)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6)
+        xs = xs.reshape(B, D, h2, w2, ph * pw * C)
+        zpad = jnp.zeros((B, 1, h2, w2, ph * pw * C), jnp.uint8)
+        xp = jnp.concatenate([xs, zpad], axis=1)
+        feat = jnp.concatenate([xp[:, :D], xp[:, 1:D + 1]], axis=-1)
+        # fold (u/255 - mean)/std into the kernel: n = a_c*u + b_c with
+        # a_c = 1/(255 std_c), b_c = -mean_c/std_c.  All in f32; cast once.
+        kern = conv.variables["params"]["kernel"].astype(jnp.float32)
+        bias = conv.variables["params"]["bias"].astype(jnp.float32)
+        a = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
+        b = -(np.asarray(IMAGENET_MEAN, np.float32)
+              / np.asarray(IMAGENET_STD, np.float32))
+        kscaled = kern * jnp.asarray(a)[None, None, None, :, None]
+        # shift per kd tap: sum over (ph, pw, c) of kern * b_c
+        shift = jnp.einsum("dhwce,c->de", kern, jnp.asarray(b))  # [pd, E]
+        # output time t uses taps kd=0 (frame t, real) and kd=1 (frame
+        # t+1 — real except at t = D-1 where the pad frame must
+        # contribute normalized zero, i.e. no kd=1 shift)
+        t_idx = jnp.arange(D)
+        bias_t = (bias[None, :] + shift[0][None, :]
+                  + (t_idx < D - 1)[:, None].astype(jnp.float32)
+                  * shift[1][None, :])  # [D, E]
+        # kernel DHWIO [pd, ph, pw, c, E] reshaped row order is
+        # (kd, ph, pw, c) — exactly feat's channel order
+        kmat = kscaled.reshape(-1, self.embed_dim)
+        mm_dt = self.dtype
+        out = jax.lax.dot_general(
+            feat.astype(mm_dt), kmat.astype(mm_dt),
+            (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bias_t[None, :, None, None, :]
+        return out.astype(self.dtype)
+
 
 class VideoSwin3D(nn.Module):
     """Full Video Swin 3D backbone.
@@ -1002,7 +1071,10 @@ class VideoSwin3D(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         cfg = self.config
-        x = x.astype(self.dtype)
+        if x.dtype != jnp.uint8:
+            x = x.astype(self.dtype)
+        # uint8 input flows RAW into the patch embed (the normalize is
+        # folded into the conv weights there — see PatchEmbed3D._u8_embed)
         x = PatchEmbed3D(
             patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
             patch_norm=cfg.patch_norm, layer_norm_eps=cfg.layer_norm_eps,

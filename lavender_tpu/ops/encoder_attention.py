@@ -312,6 +312,125 @@ def fused_bert_attn_block_forward(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
     return out[:, :L] if Lp != L else out
 
 
+def _attn_block_kernel_kmask(x_ref, wq_ref, wk_ref, wv_ref, b3_ref,
+                             wp_ref, bp_ref, keep_ref, lns_ref,
+                             lnb_ref, o_ref, *, Lp: int, C: int, nH: int,
+                             attn_scale: float, eps: float):
+    """Key-padding variant: no [Lp, Lp] additive-mask pass.  Masked keys
+    are deleted by zeroing their k/v rows (keep_ref [1, Lp, 1] in dt) and
+    the softmax denominator is corrected by the masked-key count — exact
+    (a zeroed key contributes exp2(0) = 1 to every row's l and 0 to the
+    numerator).  n_masked is a [Lp, 1] reduce in-kernel (a [B, 1] VMEM
+    operand violates the Mosaic (8, 128) block-tile rule)."""
+    from lavender_tpu.ops.swin_block_attn import _make_attn_window
+    dt = o_ref.dtype
+    x = x_ref[0]
+    keep = keep_ref[0]
+    n_masked = jnp.float32(Lp) - jnp.sum(keep.astype(jnp.float32))
+    attn = _make_attn_window(
+        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, None,
+        Np=Lp, C=C, nH=nH, attn_scale=attn_scale, dt=dt,
+        key_keep=keep, n_masked=n_masked)
+    out = attn(x, None)  # proj out + bias, f32
+    yf = out + x.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mu)
+    ln = (yf - mu) * jax.lax.rsqrt(var + eps)
+    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    o_ref[0] = ln.astype(dt)
+
+
+def fused_bert_attn_block_kmask_forward(x, wq, wk, wv, bq, bk, bv, wproj,
+                                        bproj, lns, lnb, key_mask, nH,
+                                        scale, eps):
+    """Like fused_bert_attn_block_forward but with a KEY-padding mask
+    ``key_mask`` [B, L] (1 = attend, 0 = masked) instead of the additive
+    [B, L, L] mask — the per-head mask-add VPU pass on the score tile is
+    replaced by zeroed k/v rows + a scalar denominator correction."""
+    B, L, C = x.shape
+    hd = C // nH
+    Lp = _round8(L)
+    keep = key_mask.astype(jnp.float32)
+    if Lp != L:
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+        keep = jnp.pad(keep, ((0, 0), (0, Lp - L)))
+
+    g_size = 1
+    for cand in (4, 2, 1):
+        if nH % cand == 0 and cand * hd <= 128:
+            g_size = cand
+            break
+    n_grp = nH // g_size
+    gw = g_size * hd
+    wq_g = wq.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    wk_g = wk.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    wv_g = wv.reshape(C, n_grp, gw).transpose(1, 0, 2)
+    b3 = jnp.stack([b.reshape(n_grp, 1, gw) for b in (bq, bk, bv)])
+    wp_h = wproj.reshape(n_grp, gw, C)
+    dt = x.dtype
+    keep_col = keep.astype(dt).reshape(B, Lp, 1)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel_kmask, Lp=Lp, C=C, nH=nH,
+                          attn_scale=scale * _LOG2E, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((n_grp, C, gw)), full((n_grp, C, gw)),
+            full((n_grp, C, gw)), full((3, n_grp, 1, gw)),
+            full((n_grp, gw, C)), full((C,)),
+            pl.BlockSpec((1, Lp, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C,)), full((C,)),
+        ],
+        out_specs=pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Lp, C), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=B * nH * (2 * Lp * C * hd * 3 + 4 * Lp * Lp * hd
+                            + 2 * Lp * hd * C),
+            bytes_accessed=2 * B * Lp * C * 2,
+            transcendentals=B * nH * Lp * Lp),
+    )(x, wq_g, wk_g, wv_g, b3, wp_h, bproj, keep_col, lns, lnb)
+    return out[:, :L] if Lp != L else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_bert_attn_block_kmask(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
+                                lns, lnb, key_mask, nH, scale, eps):
+    """Whole BertAttention sub-block with key-padding mask (serving path;
+    backward = reference recompute, zero cotangent for key_mask)."""
+    return fused_bert_attn_block_kmask_forward(
+        x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, key_mask, nH,
+        scale, eps)
+
+
+def _abk_fwd(x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, key_mask,
+             nH, scale, eps):
+    out = fused_bert_attn_block_kmask_forward(
+        x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb, key_mask, nH,
+        scale, eps)
+    return out, (x, wq, wk, wv, bq, bk, bv, wproj, bproj, lns, lnb,
+                 key_mask)
+
+
+def _abk_bwd(nH, scale, eps, res, g):
+    *args, key_mask = res
+    B, L, _ = args[0].shape
+    mask = ((key_mask.astype(jnp.float32) - 1.0) * 1e4)[:, None, :]
+    mask = jnp.broadcast_to(mask, (B, L, L))
+    _, vjp = jax.vjp(
+        lambda *a: bert_attn_block_reference(*a, mask, nH, scale, eps),
+        *args)
+    return tuple(vjp(g)) + (jnp.zeros_like(key_mask),)
+
+
+fused_bert_attn_block_kmask.defvjp(_abk_fwd, _abk_bwd)
+
+
 def bert_attn_block_reference(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
                               lns, lnb, mask, nH, scale, eps):
     """Pure-JAX oracle (= BertAttention module math: qkv -> softmax

@@ -87,6 +87,15 @@ def _pexp(s):
     return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
 
 
+# LVT_BF16S (experiment, default OFF): run the score-tile chain (bias/
+# mask add + clamp + exp2) in bf16 instead of f32 — the score dot emits
+# bf16 directly, halving the VPU chain's VREG traffic and deleting the
+# f32->bf16 convert pass.  ACCURACY tradeoff: bf16 eps at logit ~10 is
+# 0.0625 (exp2 error up to ~4%/element), so softmax weights blur by a few
+# percent; serving-only experiment, never for train.
+_BF16S = __import__("os").environ.get("LVT_BF16S", "0") == "1"
+
+
 # LVT_COREBWD: route the wm blocks' custom_vjp backward through the
 # flash attention core (ops/swin_core_attn.py — Pallas fwd+bwd, scores/
 # probs VMEM-only) instead of the pure-XLA _wm_ref_native recompute,
@@ -184,10 +193,18 @@ def padded_shift_mask(D: int, H: int, Wp: int, window: Tuple[int, int, int],
 
 def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                       bias_ref, *, Np: int, C: int, nH: int,
-                      attn_scale: float, dt):
+                      attn_scale: float, dt, key_keep=None, n_masked=None):
     """Shared single-window attention body for the spatial-slab and
     window-major kernels (and the BERT whole-sub-block kernel, which
     passes ``bias_ref=None`` — no rel-pos bias).
+
+    ``key_keep``/``n_masked`` (BERT key-padding fast path): instead of a
+    per-head additive [Np, Np] mask pass, masked KEYS are deleted by
+    zeroing their k/v rows (one [Np, g_width] multiply per group) — a
+    zeroed key scores s=0, contributing exp2(0)=1 to every row's
+    denominator, so the exact correction is l -= n_masked (scalar, rides
+    the post-dot divide).  key_keep: [Np, 1] 1/0 in dt; n_masked: f32
+    scalar.  Exact: see test_encoder_attention kmask parity.
 
     Heads are processed in lane-width groups: the qkv and projection
     matmuls run 128 lanes wide ([Np, C] @ [C, g*hd]) and the per-head
@@ -198,6 +215,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
     g_width = wq_ref.shape[2]
     g_size = nH // n_grp
     hd = g_width // g_size
+    l_sub = 0.0 if n_masked is None else n_masked
 
     if _PHASED:
         def attn_window_phased(xw, mask_w):
@@ -221,9 +239,13 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 vg = jax.lax.dot_general(
                     xw, wv_ref[g], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) + b3_ref[2, g]
+                kg, vg = kg.astype(dt), vg.astype(dt)
+                if key_keep is not None:
+                    kg = kg * key_keep
+                    vg = vg * key_keep
                 qs.append(qg.astype(dt))
-                ks.append(kg.astype(dt))
-                vs.append(vg.astype(dt))
+                ks.append(kg)
+                vs.append(vg)
             o_parts = [[None] * g_size for _ in range(n_grp)]
             chunk = 8
             for h0 in range(0, nH, chunk):
@@ -251,12 +273,12 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                             ps[j], jnp.concatenate([v, ones], axis=1),
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                        l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                        l = jnp.maximum(ol[:, hd:hd + 1] - l_sub, 1e-30)
                         o_parts[g][i] = (ol[:, :hd] / l).astype(dt)
                 else:
                     ls = [jnp.maximum(
                         jnp.sum(p.astype(jnp.float32), axis=-1,
-                                keepdims=True), 1e-30) for p in ps]
+                                keepdims=True) - l_sub, 1e-30) for p in ps]
                     for j, h in enumerate(hs):
                         g, i = divmod(h, g_size)
                         v = vs[g][:, i * hd:(i + 1) * hd]
@@ -296,6 +318,9 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 xw, wv_ref[g], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b3_ref[2, g]
             qg, kg, vg = qg.astype(dt), kg.astype(dt), vg.astype(dt)
+            if key_keep is not None:
+                kg = kg * key_keep
+                vg = vg * key_keep
             # NOTE: a block-diagonal variant batching the g_size score/pv
             # dots into one wide dot each (constant lane masks, zero
             # scatters) measured SLOWER (280 -> 257 clips/s): the 4x padded
@@ -311,10 +336,15 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if _BF16S and dt == jnp.bfloat16:
+                    # run the add/clamp/exp chain at half VREG width
+                    # (Mosaic requires the dot acc itself to be 32-bit);
+                    # the convert moves BEFORE the chain instead of after
+                    s = s.astype(dt)
                 if bias_ref is not None:
-                    s = s + bias_ref[h].astype(jnp.float32)
+                    s = s + bias_ref[h].astype(s.dtype)
                 if mask_w is not None:
-                    s = s + mask_w
+                    s = s + mask_w.astype(s.dtype)
                 # no max-subtraction (measured 300.3 -> 328.3 clips/s: the
                 # per-row lane-reduce + subtract passes dominate the VPU
                 # chain).  DOMAIN (tested in test_kernel_numerics.py):
@@ -353,12 +383,12 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                             [v, jnp.ones((Np, 8), dt)], axis=1),
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
-                    l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                    l = jnp.maximum(ol[:, hd:hd + 1] - l_sub, 1e-30)
                     o_parts.append((ol[:, :hd] / l).astype(dt))
                 else:
                     l = jnp.maximum(
                         jnp.sum(p.astype(jnp.float32), axis=-1,
-                                keepdims=True), 1e-30)
+                                keepdims=True) - l_sub, 1e-30)
                     o = jax.lax.dot_general(
                         p, v, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -371,7 +401,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                 l_all = (jnp.concatenate([ol[:, hd:] for ol in ol_parts],
                                          axis=1)
                          if g_size > 1 else ol_parts[0][:, hd:])
-                og = (o_all / jnp.maximum(l_all, 1e-30)).astype(dt)
+                og = (o_all / jnp.maximum(l_all - l_sub, 1e-30)).astype(dt)
             else:
                 og = (jnp.concatenate(o_parts, axis=1) if g_size > 1
                       else o_parts[0])

@@ -241,3 +241,61 @@ def test_attn_block_module_wiring():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=3e-2, rtol=3e-2)
+
+
+def _mk_kmask_block(B, L, C, seed=0):
+    g = np.random.RandomState(seed)
+    x = jnp.asarray(g.randn(B, L, C).astype(np.float32) * 0.5)
+    mk = lambda *s: jnp.asarray(g.randn(*s).astype(np.float32) * 0.1)
+    keep = (g.rand(B, L) > 0.3).astype(np.float32)
+    keep[:, 0] = 1.0
+    return (x, mk(C, C), mk(C, C), mk(C, C), mk(C), mk(C), mk(C),
+            mk(C, C), mk(C), 1.0 + 0.1 * mk(C), 0.1 * mk(C),
+            jnp.asarray(keep))
+
+
+@pytest.mark.parametrize("L", [48, 43])
+def test_attn_block_kmask_matches_reference(L):
+    """Key-padding fast path (zeroed k/v rows + scalar denominator
+    correction, NO [L, L] mask pass) == the additive-mask oracle,
+    incl. the L % 8 != 0 pad path."""
+    from lavender_tpu.ops.encoder_attention import (
+        bert_attn_block_reference, fused_bert_attn_block_kmask)
+    B, C, nH = 2, 32, 2
+    args = _mk_kmask_block(B, L, C, seed=5)
+    keep = args[-1]
+    mask = jnp.broadcast_to(
+        ((keep - 1.0) * 1e9)[:, None, :], (B, L, L))
+    want = bert_attn_block_reference(*args[:-1], mask, nH,
+                                     (C // nH) ** -0.5, 1e-12)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_bert_attn_block_kmask(*args, nH, (C // nH) ** -0.5,
+                                          1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_attn_block_kmask_gradients_match_reference():
+    """custom_vjp backward (reference recompute) parity; key_mask
+    cotangent is zero by contract."""
+    from lavender_tpu.ops.encoder_attention import (
+        bert_attn_block_reference, fused_bert_attn_block_kmask)
+    B, L, C, nH = 2, 24, 32, 2
+    args = _mk_kmask_block(B, L, C, seed=7)
+    keep = args[-1]
+    mask = jnp.broadcast_to(((keep - 1.0) * 1e4)[:, None, :], (B, L, L))
+
+    def loss_k(*a):
+        return jnp.sum(fused_bert_attn_block_kmask(
+            *a, keep, nH, (C // nH) ** -0.5, 1e-12) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(bert_attn_block_reference(
+            *a, mask, nH, (C // nH) ** -0.5, 1e-12) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_k, argnums=tuple(range(11)))(*args[:-1])
+    gr = jax.grad(loss_r, argnums=tuple(range(11)))(*args[:-1])
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)

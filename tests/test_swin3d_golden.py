@@ -194,3 +194,38 @@ def test_patch_embed_impls_match():
     got = PatchEmbed3D(embed_dim=32, impl="s2d").apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_patch_embed_u8_matches_normalize_conv():
+    """RAW-uint8 patch embed (normalize folded into the conv weights +
+    s2d MXU matmul, incl. the temporal-pad shift correction) == the
+    legacy device_normalize -> zero-pad -> conv path, in f32."""
+    from lavender_tpu.data.transforms import device_normalize
+    rng = np.random.RandomState(7)
+    B, D, H, W = 2, 5, 16, 16
+    u8 = rng.randint(0, 256, (B, D, H, W, 3)).astype(np.uint8)
+    pe = swin3d.PatchEmbed3D(embed_dim=24, dtype=jnp.float32)
+    xf = device_normalize(jnp.asarray(u8), dtype=jnp.float32)
+    v = pe.init(jax.random.PRNGKey(0), xf)
+    want = pe.apply(v, xf)
+    got = pe.apply(v, jnp.asarray(u8))
+    assert got.dtype == want.dtype and got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_backbone_u8_input_matches_normalized_input():
+    """Whole backbone fed raw uint8 == fed device_normalize output
+    (flagship geometry class: no spatial pad)."""
+    from lavender_tpu.data.transforms import device_normalize
+    cfg = SwinConfig(embed_dim=8, depths=(2,), num_heads=(2,),
+                     window_size=(8, 7, 7), drop_path_rate=0.0)
+    m = swin3d.VideoSwin3D(cfg)
+    rng = np.random.RandomState(9)
+    u8 = rng.randint(0, 256, (1, 2, 28, 28, 3)).astype(np.uint8)
+    xf = device_normalize(jnp.asarray(u8), dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), xf)
+    want = m.apply(v, xf)
+    got = m.apply(v, jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=5e-4)
