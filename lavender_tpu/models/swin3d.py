@@ -50,6 +50,13 @@ _IKS = __import__("os").environ.get("LVT_IKS", "0") == "1"
 # (VMEM-write-bound [Npad^2, nH] takes in stage 3).  Default ON.
 _BIASHOIST = __import__("os").environ.get("LVT_BIASHOIST", "1") == "1"
 
+# LVT_PEK (experiment, default OFF until TPU-measured): route the raw-u8
+# patch embed through the Pallas block-diagonal kernel
+# (ops/patch_embed_u8.py) instead of the u8 s2d + matmul — the XLA
+# lowerings of this conv are the worst-utilization op in the serving
+# profile (1.5 ms at 4% MXU peak, PERF.md round 4).
+_PEK = __import__("os").environ.get("LVT_PEK", "0") == "1"
+
 Array = jax.Array
 
 
@@ -959,6 +966,21 @@ class PatchEmbed3D(nn.Module):
         conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
                        strides=(1, ph, pw), padding="VALID",
                        dtype=self.dtype, name="proj")
+        if (_PEK and x.dtype == jnp.uint8 and not self.is_initializing()
+                and pd == 2):
+            from lavender_tpu.ops.patch_embed_u8 import (
+                fused_patch_embed_u8, supports_fused_patch_embed)
+            if supports_fused_patch_embed(B, D, H, W, C, self.patch_size):
+                from lavender_tpu.data.transforms import (IMAGENET_MEAN,
+                                                          IMAGENET_STD)
+                out = fused_patch_embed_u8(
+                    x, conv.variables["params"]["kernel"],
+                    conv.variables["params"]["bias"],
+                    IMAGENET_MEAN, IMAGENET_STD, dtype=self.dtype)
+                if self.patch_norm:
+                    out = nn.LayerNorm(epsilon=self.layer_norm_eps,
+                                       dtype=self.dtype, name="norm")(out)
+                return out
         if (x.dtype == jnp.uint8 and not self.is_initializing()
                 and pad_h == 0 and pad_w == 0 and pd == 2):
             # RAW-uint8 fast path: XLA lowers normalize+conv(C_in=3) as

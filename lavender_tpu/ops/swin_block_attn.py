@@ -81,9 +81,19 @@ _PSHIFT = __import__("os").environ.get("LVT_PSHIFT", "1") == "1"
 _NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
 
 
+# LVT_NOEXP2 / LVT_NOBIAS (timing PROBES, default OFF — these break the
+# math): replace the exp2 transcendental with a multiply / skip the
+# per-head rel-pos-bias add, to measure each op's share of the score-tile
+# chain on real hardware.  Never enabled in any product path.
+_NOEXP2 = __import__("os").environ.get("LVT_NOEXP2", "0") == "1"
+_NOBIAS = __import__("os").environ.get("LVT_NOBIAS", "0") == "1"
+
+
 def _pexp(s):
     """exp2 with the serving clamp (one fewer [Np, Np] VPU pass when
     LVT_NOCLAMP)."""
+    if _NOEXP2:
+        return s * 0.0078125  # timing probe: same shape/dtype, no exp2
     return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
 
 
@@ -341,7 +351,7 @@ def _make_attn_window(wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref,
                     # (Mosaic requires the dot acc itself to be 32-bit);
                     # the convert moves BEFORE the chain instead of after
                     s = s.astype(dt)
-                if bias_ref is not None:
+                if bias_ref is not None and not _NOBIAS:
                     s = s + bias_ref[h].astype(s.dtype)
                 if mask_w is not None:
                     s = s + mask_w.astype(s.dtype)
