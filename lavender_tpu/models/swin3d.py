@@ -958,7 +958,7 @@ class PatchEmbed3D(nn.Module):
     impl: str = "conv"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
         B, D, H, W, C = x.shape
         pd, ph, pw = self.patch_size
         pad_w = (pw - W % pw) % pw
@@ -966,8 +966,10 @@ class PatchEmbed3D(nn.Module):
         conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
                        strides=(1, ph, pw), padding="VALID",
                        dtype=self.dtype, name="proj")
-        if (_PEK and x.dtype == jnp.uint8 and not self.is_initializing()
-                and pd == 2):
+        # deterministic gates the Pallas kernel path: it has no
+        # custom_vjp (serving-only), so training keeps the jnp path
+        if (_PEK and deterministic and x.dtype == jnp.uint8
+                and not self.is_initializing() and pd == 2):
             from lavender_tpu.ops.patch_embed_u8 import (
                 fused_patch_embed_u8, supports_fused_patch_embed)
             if supports_fused_patch_embed(B, D, H, W, C, self.patch_size):
@@ -1100,7 +1102,7 @@ class VideoSwin3D(nn.Module):
         x = PatchEmbed3D(
             patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
             patch_norm=cfg.patch_norm, layer_norm_eps=cfg.layer_norm_eps,
-            dtype=self.dtype, name="patch_embed")(x)
+            dtype=self.dtype, name="patch_embed")(x, deterministic)
 
         num_layers = len(cfg.depths)
         dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
