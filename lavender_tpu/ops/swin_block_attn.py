@@ -1172,12 +1172,20 @@ def _wms_bwd(spatial, window, shift, nH, attn_scale, eps, res, g):
 fused_swin_block_wm_shifted.defvjp(_wms_fwd, _wms_bwd)
 
 
+# LVT_WMSLAB (A/B knob): per-grid-step slab budget for the wm kernels.
+# Default 512 KB double-buffers comfortably; larger budgets raise G
+# (fewer grid steps, better weight-reload amortization) at the cost of
+# VMEM pressure — stage 3 (C=512) moves from G=2 to G=4 at 1 MB.
+_WMSLAB = int(__import__("os").environ.get("LVT_WMSLAB", "524288"))
+_WMGMAX = int(__import__("os").environ.get("LVT_WMGMAX", "4"))
+
+
 def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
-    """Windows per grid step: largest divisor of nW (<= 8) whose slab
-    stays <= ~512 KB, so the pipeline double-buffers comfortably."""
+    """Windows per grid step: largest divisor of nW (<= LVT_WMGMAX,
+    default 4) whose slab stays <= the LVT_WMSLAB budget (~512 KB)."""
     G = 1
-    for g in range(1, 5):
-        if nW % g == 0 and g * Npad * C * itemsize <= 524288:
+    for g in range(1, _WMGMAX + 1):
+        if nW % g == 0 and g * Npad * C * itemsize <= _WMSLAB:
             G = g
     return G
 
