@@ -519,3 +519,29 @@ def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
                                atol=0, rtol=0)
     np.testing.assert_allclose(np.asarray(got_cache), np.asarray(want),
                                atol=0, rtol=0)
+
+
+def test_backbone_wm_group_bump_matches_default():
+    """LVT_WMGMAX=8 / LVT_WMSLAB=1M (bigger windows-per-grid-step, the
+    G6 A/B stanza) must be bit-identical to the default G — the group
+    size is a pure scheduling choice."""
+    import lavender_tpu.ops.swin_block_attn as sba
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg_w = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(1)
+    x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
+    mw = VideoSwin3D(cfg_w)
+    with pltpu.force_tpu_interpret_mode():
+        params = mw.init(jax.random.PRNGKey(0), x)
+        want = mw.apply(params, x)
+        old_g, old_s = sba._WMGMAX, sba._WMSLAB
+        sba._WMGMAX, sba._WMSLAB = 8, 1048576
+        try:
+            # stage 1 here has nW=64: default picks G=4, the bump G=8
+            assert sba._pick_wm_group(64, 120, 8) == 8
+            got = mw.apply(params, x)
+        finally:
+            sba._WMGMAX, sba._WMSLAB = old_g, old_s
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
