@@ -1466,7 +1466,11 @@ def fused_swin_block_wm_full(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
                              bproj, bias, mask, n2_scale, n2_bias, w1, b1,
                              w2, b2, spatial, window, nH, attn_scale, eps):
     """Whole wm Swin block in one pallas_call (attention + LN2 + MLP +
-    both residuals).  Use when full_block_fits_vmem."""
+    both residuals).  Use when full_block_fits_vmem.
+
+    Gradient contract: same as fused_swin_block_wm — under LVT_COREBWD
+    the MASK cotangent is hard zero (masks are trace-time geometry
+    constants here); never pass a learnable/content-dependent mask."""
     return _fused_block_forward_wm(
         x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias, mask, nH,
         attn_scale, eps, mlp=(n2_scale, n2_bias, w1, b1, w2, b2))
