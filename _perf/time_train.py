@@ -218,5 +218,143 @@ def main():
         scan_time(opt_only, state, grads, label="AdamW update alone")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--crossparts" not in __import__("sys").argv:
     main()
+
+
+def crossparts():
+    """Train-mode sub-block decomposition of the B^2-pair cross encoder
+    (the dominant train cost, PERF.md round-4 train decomposition:
+    go_cross fwd 62.9 ms at ~27% MXU).  Times the 12x attention
+    sub-block and 12x FFN sub-block stacks at the [B^2, 280, 768] train
+    shape, fwd and fwd+bwd, plus no-dropout controls (same code,
+    dropout probs zero) to isolate the RNG/dropout share.
+
+    Usage: python _perf/time_train.py --crossparts [--batch 8] [--fused-attn-train]
+    """
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crossparts", action="store_true")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--fused-attn-train", action="store_true")
+    ap.add_argument("--fused-ffn-train", action="store_true")
+    args = ap.parse_args()
+
+    import time
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lavender_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import dataclasses
+    import flax.linen as fnn
+    from lavender_tpu.config import BertConfig
+    from lavender_tpu.models.bert import (BertAttention, BertLayer,
+                                          extended_attention_mask)
+
+    iters = args.iters
+    P = args.batch * args.batch  # pair count
+    Lf = 5 * (1 + 7 * 7) + 30    # 280
+    rng = np.random.RandomState(0)
+
+    def scan_time(fn, *inputs, label=""):
+        @jax.jit
+        def run(*inputs):
+            def body(c, _):
+                return fn(*inputs, carry=c), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=iters)
+            return c
+        t0 = time.perf_counter()
+        float(run(*inputs))
+        compile_t = time.perf_counter() - t0
+        float(run(*inputs))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(*inputs))
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label:52s} {best / iters * 1e3:9.2f} ms/iter"
+              f"  (compile {compile_t:.0f}s)", flush=True)
+
+    base = BertConfig(fused_attn=True, fused_ffn=True,
+                      fused_attn_train=args.fused_attn_train,
+                      fused_ffn_train=args.fused_ffn_train)
+    nodrop = dataclasses.replace(base, attention_probs_dropout_prob=0.0,
+                                 hidden_dropout_prob=0.0)
+    hb = jnp.asarray(rng.rand(P, Lf, base.hidden_size), jnp.bfloat16)
+    am = extended_attention_mask(jnp.ones((P, Lf), jnp.int32), jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+
+    class _AttnStack(fnn.Module):
+        cfg: object
+
+        @fnn.compact
+        def __call__(self, h, am, det):
+            for i in range(12):
+                h = BertAttention(self.cfg, dtype=jnp.bfloat16,
+                                  name=f"a{i}")(h, am, det)
+            return h
+
+    class _FfnStack(fnn.Module):
+        cfg: object
+
+        @fnn.compact
+        def __call__(self, h, det):
+            for i in range(12):
+                h = BertLayer(self.cfg, dtype=jnp.bfloat16,
+                              name=f"f{i}")._ffn(h, det)
+            return h
+
+    for tag, cfg in (("train", base), ("train-nodrop", nodrop)):
+        st = _AttnStack(cfg)
+        ps = jax.jit(st.init, static_argnums=3)(
+            jax.random.PRNGKey(0), hb, am, True)
+        ps = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, ps)
+
+        def attn_loss(p, h, am, carry):
+            out = st.apply(p, h + carry.astype(jnp.bfloat16), am, False,
+                           rngs={"dropout": key})
+            return out.astype(jnp.float32).mean()
+        scan_time(attn_loss, ps, hb, am,
+                  label=f"12x attn sub-block fwd [{tag}] P={P}")
+
+        def attn_bwd(p, h, am, carry):
+            loss, g = jax.value_and_grad(attn_loss)(p, h, am, carry)
+            return loss + sum(x.astype(jnp.float32).mean()
+                              for x in jax.tree_util.tree_leaves(g))
+        scan_time(attn_bwd, ps, hb, am,
+                  label=f"12x attn sub-block fwd+bwd [{tag}]")
+
+        sf = _FfnStack(cfg)
+        pf = jax.jit(sf.init, static_argnums=2)(
+            jax.random.PRNGKey(0), hb, True)
+        pf = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, pf)
+
+        def ffn_loss(p, h, carry):
+            out = sf.apply(p, h + carry.astype(jnp.bfloat16), False,
+                           rngs={"dropout": key})
+            return out.astype(jnp.float32).mean()
+        scan_time(ffn_loss, pf, hb,
+                  label=f"12x FFN sub-block fwd [{tag}]")
+
+        def ffn_bwd(p, h, carry):
+            loss, g = jax.value_and_grad(ffn_loss)(p, h, carry)
+            return loss + sum(x.astype(jnp.float32).mean()
+                              for x in jax.tree_util.tree_leaves(g))
+        scan_time(ffn_bwd, pf, hb,
+                  label=f"12x FFN sub-block fwd+bwd [{tag}]")
+
+
+if __name__ == "__main__" and "--crossparts" in __import__("sys").argv:
+    import numpy as np  # noqa: F811
+    crossparts()
+    raise SystemExit(0)

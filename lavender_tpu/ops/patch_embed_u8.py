@@ -74,7 +74,7 @@ def _pe_kernel(x0_ref, x1_ref, w_ref, bt_ref, o_ref, *, ph: int, pw: int,
     a1 = x1_ref[0, 0].astype(jnp.bfloat16)
     gw = 8 * E
     ck = 8 * pw * 3  # 96 input lanes per chunk
-    bias = bt_ref[0].astype(jnp.float32)
+    bias = bt_ref[0, 0].astype(jnp.float32)
     # hoist the strided row slices out of the chunk loop
     rows = [(a[kh::ph], t) for t, a in ((0, a0), (1, a1))
             for kh in range(ph)]
@@ -121,7 +121,11 @@ def fused_patch_embed_u8(x: Array, kernel: Array, bias: Array,
     t_idx = jnp.arange(D)
     bt = (bias_f[None, :] + shift[0][None, :]
           + jnp.where((t_idx < D - 1)[:, None], shift[1][None, :], 0.0))
-    bt8 = jnp.tile(bt, (1, 8))
+    # rank-3 [D, 1, 8E] so the per-d block (1, 1, 8E) EQUALS the array's
+    # trailing dims — Mosaic requires trailing block dims divisible by
+    # (8, 128) or equal to the array's (caught at real lowering; the
+    # interpret-mode tests accept the rank-2 form)
+    bt8 = jnp.tile(bt, (1, 8)).reshape(D, 1, gw)
 
     # block-diagonal weights: Wbd[t, kh] [8*pw*3, 8*E], block j_local =
     # the [pw*3, E] tap matrix (rows (kw, c) — the in-row lane order)
@@ -145,7 +149,7 @@ def fused_patch_embed_u8(x: Array, kernel: Array, bias: Array,
             pl.BlockSpec((pd, ph, 8 * pw * 3, gw),
                          lambda b, d: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gw), lambda b, d: (d, 0),
+            pl.BlockSpec((1, 1, gw), lambda b, d: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, h2, w2 * E),
