@@ -93,7 +93,10 @@ def _pexp(s):
     """exp2 with the serving clamp (one fewer [Np, Np] VPU pass when
     LVT_NOCLAMP)."""
     if _NOEXP2:
-        return s * 0.0078125  # timing probe: same shape/dtype, no exp2
+        # timing probe: one multiply instead of the transcendental.
+        # square keeps p >= 0 so the PVSUM denominator stays sane (the
+        # first multiply-probe produced negative "probs" -> NaN)
+        return jnp.square(s)
     return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
 
 
