@@ -93,10 +93,11 @@ def _pexp(s):
     """exp2 with the serving clamp (one fewer [Np, Np] VPU pass when
     LVT_NOCLAMP)."""
     if _NOEXP2:
-        # timing probe: one multiply instead of the transcendental.
-        # square keeps p >= 0 so the PVSUM denominator stays sane (the
-        # first multiply-probe produced negative "probs" -> NaN)
-        return jnp.square(s)
+        # timing probe: abs+min (2 elementwise ops) instead of min+exp2
+        # — isolates exactly the transcendental's cost.  Bounded in
+        # [0, 115] so no downstream overflow (the multiply and square
+        # probe variants both produced non-finite outputs on TPU).
+        return jnp.minimum(jnp.abs(s), 115.0)
     return jnp.exp2(s if _NOCLAMP else jnp.minimum(s, 115.4156))
 
 
