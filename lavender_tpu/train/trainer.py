@@ -28,13 +28,25 @@ class TrainState:
     rng: jax.Array
 
 
+# LVT_RBG (A/B, default OFF until TPU-measured): derive the train
+# dropout rngs from an rbg-impl key instead of threefry.  The XLA
+# threefry mask generation on the FFN's [M, 3072] intermediate measured
+# 4.2 ms fwd / 11.2 ms fwd+bwd per step at the flagship train shape
+# (PERF.md round-4 crossparts); rbg lowers to the TPU hardware RNG.
+# Dropout masks are the only consumer, so the bit-pattern change is
+# statistically irrelevant.
+_RBG = __import__("os").environ.get("LVT_RBG", "0") == "1"
+
+
 def create_train_state(params, tx: optax.GradientTransformation,
                        seed: int = 88) -> TrainState:
+    key = (jax.random.PRNGKey(seed, impl="rbg") if _RBG
+           else jax.random.PRNGKey(seed))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        rng=jax.random.PRNGKey(seed))
+        rng=key)
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
