@@ -36,17 +36,20 @@ class TrainState:
 # Dropout masks are the only consumer, so the bit-pattern change is
 # statistically irrelevant.
 _RBG = __import__("os").environ.get("LVT_RBG", "0") == "1"
+if _RBG:
+    # set the GLOBAL default impl: raw uint32 keys don't carry their
+    # impl, so split/fold_in on the state rng must agree with PRNGKey —
+    # a per-key impl= kwarg would be reinterpreted as threefry downstream
+    jax.config.update("jax_default_prng_impl", "rbg")
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
                        seed: int = 88) -> TrainState:
-    key = (jax.random.PRNGKey(seed, impl="rbg") if _RBG
-           else jax.random.PRNGKey(seed))
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        rng=key)
+        rng=jax.random.PRNGKey(seed))
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
