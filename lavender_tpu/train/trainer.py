@@ -28,14 +28,15 @@ class TrainState:
     rng: jax.Array
 
 
-# LVT_RBG (A/B, default OFF until TPU-measured): derive the train
-# dropout rngs from an rbg-impl key instead of threefry.  The XLA
-# threefry mask generation on the FFN's [M, 3072] intermediate measured
-# 4.2 ms fwd / 11.2 ms fwd+bwd per step at the flagship train shape
-# (PERF.md round-4 crossparts); rbg lowers to the TPU hardware RNG.
-# Dropout masks are the only consumer, so the bit-pattern change is
-# statistically irrelevant.
-_RBG = __import__("os").environ.get("LVT_RBG", "0") == "1"
+# LVT_RBG (default ON; TPU A/B 36.57 vs 35.33 train clips/s, +3.5%):
+# derive the train dropout rngs from the rbg PRNG instead of threefry.
+# The XLA threefry mask generation on the FFN's [M, 3072] intermediate
+# measured 4.2 ms fwd / 11.2 ms fwd+bwd per step at the flagship train
+# shape (PERF.md round-4 crossparts); rbg lowers to the TPU hardware
+# RNG.  Dropout masks (and decode sampling) are the only jax.random
+# consumers, so the bit-pattern change is statistically irrelevant;
+# LVT_RBG=0 restores threefry for bit-reproducibility with old runs.
+_RBG = __import__("os").environ.get("LVT_RBG", "1") == "1"
 if _RBG:
     # set the GLOBAL default impl: raw uint32 keys don't carry their
     # impl, so split/fold_in on the state rng must agree with PRNGKey —
