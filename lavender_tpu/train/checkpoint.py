@@ -59,10 +59,35 @@ def restore_train_state(path: str, like_state):
                "opt_state": like_state.opt_state, "rng": like_state.rng}
     target = jax.tree_util.tree_map(np.asarray, payload)
     with ocp.StandardCheckpointer() as ckptr:
+        # Tolerate an rng saved under a different PRNG impl (LVT_RBG flip
+        # between save and resume): threefry key data is (2,) uint32, rbg
+        # (4,) — restore with the STORED shape, then re-derive below.
+        try:
+            meta = ckptr.metadata(op.abspath(path))
+            tree = getattr(meta, "item_metadata", meta)
+            stored_shape = tuple(tree["rng"].shape)
+        except Exception:
+            stored_shape = tuple(target["rng"].shape)
+        if stored_shape != tuple(target["rng"].shape):
+            target = dict(target, rng=np.zeros(stored_shape, np.uint32))
         restored = ckptr.restore(op.abspath(path), target)
+    rng = restored["rng"]
+    if tuple(np.shape(rng)) != tuple(np.shape(like_state.rng)):
+        # Cross-impl resume: the stored stream cannot continue bit-exactly
+        # under the new impl; re-seed the new impl from the stored bits so
+        # the resumed run is deterministic (just not stream-continuous).
+        from lavender_tpu.train import trainer as _trainer
+        from lavender_tpu.utils.logging import main_logger
+        main_logger().warning(
+            "train-state rng saved under a different PRNG impl (shape %s "
+            "vs expected %s; LVT_RBG changed between save and resume) — "
+            "re-seeding the %s dropout stream from the stored bits",
+            tuple(np.shape(rng)), tuple(np.shape(like_state.rng)),
+            _trainer.TRAIN_PRNG_IMPL)
+        rng = _trainer.make_rng_data(int(np.asarray(rng).ravel()[-1]))
     return type(like_state)(
         step=restored["step"], params=restored["params"],
-        opt_state=restored["opt_state"], rng=restored["rng"])
+        opt_state=restored["opt_state"], rng=rng)
 
 
 def save_training_meta(cfg, path_output: str):

@@ -33,15 +33,28 @@ class TrainState:
 # The XLA threefry mask generation on the FFN's [M, 3072] intermediate
 # measured 4.2 ms fwd / 11.2 ms fwd+bwd per step at the flagship train
 # shape (PERF.md round-4 crossparts); rbg lowers to the TPU hardware
-# RNG.  Dropout masks (and decode sampling) are the only jax.random
-# consumers, so the bit-pattern change is statistically irrelevant;
-# LVT_RBG=0 restores threefry for bit-reproducibility with old runs.
+# RNG.  Dropout masks are the only train-step jax.random consumers, so
+# the bit-pattern change is statistically irrelevant; LVT_RBG=0 restores
+# threefry for bit-reproducibility with old runs.
+#
+# Round-5 (advisor medium): scoped to the TRAIN DROPOUT STREAM ONLY via
+# TYPED keys — TrainState.rng stores raw uint32 key data (checkpoint-
+# friendly) and the step wraps it with jax.random.wrap_key_data(...,
+# impl='rbg') before splitting.  Typed keys carry their impl through
+# split/fold_in (raw keys do not — the round-4 global-config flip existed
+# because per-key impl= on a raw key was reinterpreted as threefry by
+# split).  No jax.config mutation: importing this module changes nothing
+# outside the train step; model.init and decode sampling keep default
+# threefry semantics.
 _RBG = __import__("os").environ.get("LVT_RBG", "1") == "1"
-if _RBG:
-    # set the GLOBAL default impl: raw uint32 keys don't carry their
-    # impl, so split/fold_in on the state rng must agree with PRNGKey —
-    # a per-key impl= kwarg would be reinterpreted as threefry downstream
-    jax.config.update("jax_default_prng_impl", "rbg")
+TRAIN_PRNG_IMPL = "rbg" if _RBG else "threefry2x32"
+
+
+def make_rng_data(seed: int) -> jax.Array:
+    """Raw uint32 key data for the train dropout stream ((4,) for rbg,
+    (2,) for threefry) — stored in TrainState so Orbax sees a plain
+    array; wrapped back to a typed key inside the step."""
+    return jax.random.key_data(jax.random.key(seed, impl=TRAIN_PRNG_IMPL))
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
@@ -50,7 +63,7 @@ def create_train_state(params, tx: optax.GradientTransformation,
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        rng=jax.random.PRNGKey(seed))
+        rng=make_rng_data(seed))
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
@@ -64,7 +77,9 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     """
 
     def step_fn(state: TrainState, batch: Dict) -> tuple:
-        rng, new_rng = jax.random.split(state.rng)
+        key = jax.random.wrap_key_data(state.rng, impl=TRAIN_PRNG_IMPL)
+        rng, new_key = jax.random.split(key)
+        new_rng = jax.random.key_data(new_key)
         out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
             state.params, batch, rng)
         loss = out[0] if has_aux else out

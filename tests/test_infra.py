@@ -106,6 +106,68 @@ def test_train_state_resume(tmp_path):
     assert int(restored.step) == 5
 
 
+def test_trainer_import_no_global_prng_side_effect():
+    """Round-5 advisor fix: importing the train package must NOT flip the
+    process-global default PRNG impl (the round-4 LVT_RBG flag did, via
+    jax.config.update at import).  The rbg impl is now scoped to the train
+    dropout stream through typed keys."""
+    import lavender_tpu.train.trainer  # noqa: F401 — the import IS the test
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
+    # raw PRNGKey semantics untouched: threefry key data is (2,) uint32
+    assert jax.random.PRNGKey(0).shape == (2,)
+
+
+def test_train_step_rng_impl_scoped():
+    """The train step wraps TrainState.rng with the train impl and stores
+    raw key data back — the stream advances and keeps its shape."""
+    import optax
+    from lavender_tpu.train import trainer
+    params = {"w": jnp.ones((4,))}
+    tx = optax.sgd(1e-2)
+    state = trainer.create_train_state(params, tx, seed=3)
+    expected = jax.random.key_data(
+        jax.random.key(0, impl=trainer.TRAIN_PRNG_IMPL)).shape
+    assert state.rng.shape == expected
+
+    def loss_fn(p, batch, rng):
+        # consume the typed key the way the tasks do (split + bernoulli)
+        k1, _ = jax.random.split(rng)
+        mask = jax.random.bernoulli(k1, 0.5, (4,))
+        return jnp.sum(p["w"] * batch["x"] * mask)
+
+    step = trainer.make_train_step(loss_fn, tx, mesh=None, donate=False)
+    new_state, loss = step(state, {"x": jnp.ones((4,))})
+    assert new_state.rng.shape == expected
+    assert not np.array_equal(np.asarray(new_state.rng),
+                              np.asarray(state.rng))
+    assert np.isfinite(float(loss))
+
+
+def test_train_state_resume_cross_impl(tmp_path):
+    """A checkpoint whose rng was saved under a different PRNG impl (e.g.
+    LVT_RBG flipped between save and resume) restores instead of erroring:
+    everything but the rng round-trips, the rng is re-seeded for the new
+    impl (advisor round-4 medium)."""
+    import optax
+    from lavender_tpu.train import checkpoint as ckpt
+    from lavender_tpu.train import trainer
+    params = {"w": jnp.full((3,), 2.0)}
+    tx = optax.adam(1e-3)
+    state = trainer.create_train_state(params, tx, seed=0)
+    like = trainer.create_train_state(params, tx, seed=1)
+    # simulate the OTHER impl's key data shape ((2,) vs rbg's (4,))
+    other = (2,) if state.rng.shape == (4,) else (4,)
+    state = state.replace(step=jnp.asarray(7, jnp.int32),
+                          rng=jnp.arange(other[0], dtype=jnp.uint32))
+    path = str(tmp_path / "ck_ximpl")
+    ckpt.save_train_state(state, path)
+    restored = ckpt.restore_train_state(path, like)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    assert restored.rng.shape == like.rng.shape
+
+
 def test_caption_metrics_perfect_match():
     # two disjoint-vocab items so idf is non-degenerate (CIDEr is 0 by
     # construction on a 1-image corpus)
