@@ -149,9 +149,11 @@ def main():
     if not args.train and args.attn == "wm":
         # precompute the wm stages' rel-pos biases once (weights are
         # frozen in serving) — the step then pays zero gather cost
-        from lavender_tpu.models.swin3d import build_serving_bias_cache
+        from lavender_tpu.models.swin3d import (build_serving_bias_cache,
+                                                check_serving_cache)
         variables = build_serving_bias_cache(
             model, variables, img0[:1], txt[:1], mask[:1])
+        check_serving_cache(variables)
 
     iters = args.iters
 

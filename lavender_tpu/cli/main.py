@@ -938,7 +938,8 @@ def _maybe_reinit_head(cfg: RunConfig, variables, head_out: int):
                             cfg.model.hidden_size, head_out,
                             seed=cfg.train.seed)
     LOGGER.info("reinit_head: task head re-randomized")
-    return {"params": params}
+    # pass non-params collections through (e.g. a serving bias 'cache')
+    return {**variables, "params": params}
 
 
 def _wrap_eval(step, keys):

@@ -192,10 +192,24 @@ def resolve_attn_impl(impl: str) -> str:
     backend: the window-major fused kernels on TPU (which themselves fall
     back per-stage to the spatial fused kernels, and those to XLA, when a
     geometry is unsupported), the XLA einsum path elsewhere (Mosaic
-    kernels only lower on TPU)."""
+    kernels only lower on TPU).
+
+    Tensor parallelism (round-5): under a global mesh with tp>1, 'auto'
+    resolves to 'xla' even on TPU — Mosaic custom calls have no GSPMD
+    partitioning rules, so the kernels would force an all-gather of every
+    model-sharded weight and run fully replicated (correct, parity-tested
+    in test_parallel, but it erases TP's compute scaling); the XLA path
+    lets GSPMD shard the qkv/proj/MLP dots Megatron-style
+    (parallel/mesh.py param rules).  Forcing impl='wm' under tp>1 remains
+    supported and correct."""
     if impl != "auto":
         return impl
-    return "wm" if jax.default_backend() == "tpu" else "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from lavender_tpu.parallel import mesh as pmesh
+    if pmesh.tp_active():
+        return "xla"
+    return "wm"
 
 
 def drop_path(x: Array, rate, deterministic: bool, rng) -> Array:
@@ -666,6 +680,16 @@ class SwinBlockWM(nn.Module):
         return out.astype(self.dtype).reshape(x.shape)
 
 
+def _bias_fingerprint(ta: Array, tb: Array) -> Array:
+    """Cheap staleness fingerprint of a block pair's rel-pos bias table
+    stacks: [sum_a, sumsq_a, sum_b, sumsq_b] in f32.  Any optimizer step
+    or checkpoint swap moves the sums (the probability of an exact
+    collision under both sums is negligible)."""
+    fa, fb = ta.astype(jnp.float32), tb.astype(jnp.float32)
+    return jnp.stack([jnp.sum(fa), jnp.sum(jnp.square(fa)),
+                      jnp.sum(fb), jnp.sum(jnp.square(fb))])
+
+
 def build_serving_bias_cache(model, variables, *example_args,
                              use_jit: bool = True, **apply_kw):
     """One deterministic apply with mutable=['cache'] to precompute every
@@ -675,14 +699,54 @@ def build_serving_bias_cache(model, variables, *example_args,
     result to subsequent applies and the wm block scan reads the prebuilt
     [n_pairs, nH, Npad, Npad] stacks instead of gathering (profiled
     round 4: 2.2 ms/iter of in-scan gathers at B=24).  The cache is a pure
-    function of params — REBUILD after any param update (bench.py builds
-    it once after the serving bf16 cast)."""
+    function of params — REBUILD after any param update.  Each layer's
+    cache stores a fingerprint of its source tables; call
+    ``check_serving_cache`` after any host-level param mutation to catch a
+    stale cache (it raises) instead of silently serving wrong biases."""
     def fn(v, *a):
         return model.apply(v, *a, mutable=["cache"], **apply_kw)
     if use_jit:
         fn = jax.jit(fn)
     _, cache = fn(variables, *example_args)
     return {**variables, **cache}
+
+
+def check_serving_cache(variables) -> bool:
+    """Host-side staleness guard for the serving bias cache.
+
+    Walks the 'cache' collection; for every layer that recorded a
+    ``bias_fp`` fingerprint, recomputes it from the CURRENT params tables
+    at the same tree path and raises ``ValueError`` on mismatch (the cache
+    was built from different params — rebuild with
+    ``build_serving_bias_cache``).  Returns True when a cache is present
+    and fresh, False when no cache collection exists (nothing to check).
+    Cheap: sums over the small [n_pairs, L, nH] tables only."""
+    cache = variables.get("cache") if isinstance(variables, dict) else None
+    if cache is None:
+        return False
+    params = variables["params"]
+
+    def walk(c, p, path):
+        for k, v in dict(c).items():
+            if k == "bias_fp":
+                sub = p["blocks_scan"]
+                want = np.asarray(_bias_fingerprint(
+                    sub["a"]["attn"]["relative_position_bias_table"],
+                    sub["b"]["attn"]["relative_position_bias_table"]))
+                got = np.asarray(v)
+                if not np.array_equal(want, got):
+                    raise ValueError(
+                        f"stale serving bias cache at {'/'.join(path)}: "
+                        f"the cached rel-pos biases were built from "
+                        f"different params (fingerprint {got} != current "
+                        f"{want}).  Rebuild with build_serving_bias_cache "
+                        f"after any param update, or drop the 'cache' "
+                        f"collection.")
+            elif isinstance(v, dict) or hasattr(v, "items"):
+                walk(v, p[k], path + (k,))
+
+    walk(cache, params, ())
+    return True
 
 
 class PatchMerging(nn.Module):
@@ -868,13 +932,19 @@ class BasicLayer(nn.Module):
                 bfn = lambda t: rel_pos_bias_wm(
                     t, tuple(self.window_size), window_eff, Npad,
                     self.dtype)
-                bias_a = jax.vmap(bfn)(
-                    sub["a"]["attn"]["relative_position_bias_table"])
-                bias_b = jax.vmap(bfn)(
-                    sub["b"]["attn"]["relative_position_bias_table"])
+                ta = sub["a"]["attn"]["relative_position_bias_table"]
+                tb = sub["b"]["attn"]["relative_position_bias_table"]
+                bias_a = jax.vmap(bfn)(ta)
+                bias_b = jax.vmap(bfn)(tb)
                 if self.is_mutable_collection("cache"):
                     self.put_variable("cache", "rel_bias_a", bias_a)
                     self.put_variable("cache", "rel_bias_b", bias_b)
+                    # staleness fingerprint of the SOURCE tables (advisor
+                    # round 4): the cache is a pure function of params, so
+                    # check_serving_cache(variables) can detect a cache
+                    # carried across a param update and raise host-side
+                    self.put_variable("cache", "bias_fp",
+                                      _bias_fingerprint(ta, tb))
             else:
                 bias_a = bias_b = jnp.zeros((n_pairs, 1, 1, 1), self.dtype)
             scanned = nn.scan(

@@ -242,6 +242,27 @@ def full_retrieval_eval(model: LavenderModel, variables,
     dl = loader or DataLoader(dataset, batch_size, shuffle=False,
                               num_workers=4)
 
+    # The feat phase runs the full Swin backbone once per clip: build the
+    # serving rel-pos bias cache ONCE up front so every apply skips the
+    # per-apply bias gather (round-4 profiled 2.2 ms/iter in-scan; the
+    # cache removes even the pre-scan vmapped take).  Pure function of
+    # params + fingerprint-guarded; harmless no-op off the wm path.
+    try:
+        from lavender_tpu.models import swin3d as _s3d
+        mcfg = getattr(model, "cfg", None)
+        if (mcfg is not None and _s3d._BIASHOIST and "cache" not in variables
+                and _s3d.resolve_attn_impl(mcfg.swin.attn_impl) == "wm"):
+            T, S = dataset.cfg.size_frame, dataset.cfg.size_img
+            img0 = jnp.zeros((1, T, S, S, 3), jnp.dtype(mcfg.dtype))
+            txt0 = jnp.zeros((1, 2), jnp.int32)
+            msk0 = jnp.ones((1, 2), jnp.int32)
+            variables = _s3d.build_serving_bias_cache(
+                model, variables, img0, txt0, msk0,
+                method=LavenderModel.go_feat)
+            _s3d.check_serving_cache(variables)
+    except Exception:
+        pass
+
     def _shard_feat(*arrs):
         """Shard a feat-phase batch's leading axis over the mesh data axis
         (no-op without a mesh / non-dividing batch) — the Swin encode is

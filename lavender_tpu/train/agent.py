@@ -138,13 +138,45 @@ class Agent:
                 batch = pmesh.shard_batch(batch, self.mesh)
         return batch
 
+    def eval_variables(self):
+        """Variables for the eval jit: params + (when the wm serving path
+        is active) the serving rel-pos bias cache, rebuilt ONCE per eval
+        epoch from the CURRENT params — eval steps then pay zero gather
+        cost (the in-scan gather measured 2.2 ms/iter, PERF.md round 4).
+        The cache carries a params fingerprint; check_serving_cache guards
+        against reuse across param updates."""
+        params = self.eval_params()
+        variables = {"params": params}
+        try:
+            from lavender_tpu.models import swin3d
+            mcfg = getattr(self.model, "cfg", None)
+            if (mcfg is None or not swin3d._BIASHOIST
+                    or swin3d.resolve_attn_impl(
+                        mcfg.swin.attn_impl) != "wm"):
+                return variables
+            from lavender_tpu.models.lavender import LavenderModel
+            import jax.numpy as _jnp
+            S, T = self.cfg.data.size_img, self.cfg.data.size_frame
+            img = _jnp.zeros((1, T, S, S, 3),
+                             _jnp.dtype(mcfg.dtype))
+            txt = _jnp.zeros((1, 2), _jnp.int32)
+            msk = _jnp.ones((1, 2), _jnp.int32)
+            variables = swin3d.build_serving_bias_cache(
+                self.model, variables, img, txt, msk,
+                method=LavenderModel.go_feat)
+            swin3d.check_serving_cache(variables)
+        except Exception as e:  # cache is an optimization, never a crash
+            self.logger.warning(f"serving bias cache skipped: {e}")
+            variables = {"params": params}
+        return variables
+
     def eval_epoch(self, dl, **kw) -> float:
         assert self.eval_step is not None
         accs: List[float] = []
-        params = self.eval_params()
+        variables = self.eval_variables()
         for batch in dl:
             batch = self.eval_batch(batch)
-            out = self.eval_step({"params": params}, batch, **kw)
+            out = self.eval_step(variables, batch, **kw)
             ac = out[-1] if isinstance(out, tuple) else out
             accs.extend(np.asarray(ac, np.float64).ravel().tolist())
         gathered = []

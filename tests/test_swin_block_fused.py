@@ -521,6 +521,49 @@ def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
                                atol=0, rtol=0)
 
 
+def test_serving_cache_staleness_guard():
+    """check_serving_cache passes on a fresh cache, raises after any
+    param update that moves a rel-pos bias table (advisor round-4 low:
+    a stale cache silently served wrong biases before)."""
+    import lavender_tpu.models.swin3d as swin3d_mod
+    from lavender_tpu.models.swin3d import (build_serving_bias_cache,
+                                            check_serving_cache)
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg = SwinConfig(attn_impl="wm", **common)
+    x = jnp.zeros((1, 2, 56, 56, 3), jnp.float32)
+    m = VideoSwin3D(cfg)
+    old = swin3d_mod._BIASHOIST
+    try:
+        swin3d_mod._BIASHOIST = True
+        with pltpu.force_tpu_interpret_mode():
+            variables = m.init(jax.random.PRNGKey(0), x)
+            vcache = build_serving_bias_cache(m, variables, x,
+                                              use_jit=False)
+    finally:
+        swin3d_mod._BIASHOIST = old
+    # no cache -> False (nothing to check); fresh cache -> True
+    assert check_serving_cache(variables) is False
+    assert check_serving_cache(vcache) is True
+    # simulate a param update (optimizer step / checkpoint swap)
+    stale = jax.tree_util.tree_map(lambda v: v, vcache)
+    params = jax.tree_util.tree_map(
+        lambda v: v, jax.device_get(stale["params"]))
+
+    def bump_tables(t):
+        if isinstance(t, dict) or hasattr(t, "items"):
+            return {k: (np.asarray(v) + 1.0
+                        if k == "relative_position_bias_table"
+                        else bump_tables(v))
+                    for k, v in dict(t).items()}
+        return t
+
+    stale = {**stale, "params": bump_tables(params)}
+    with pytest.raises(ValueError, match="stale serving bias cache"):
+        check_serving_cache(stale)
+
+
 def test_backbone_wm_group_bump_matches_default():
     """LVT_WMGMAX=8 / LVT_WMSLAB=1M (bigger windows-per-grid-step, the
     G6 A/B stanza) must be bit-identical to the default G — the group
