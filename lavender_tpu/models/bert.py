@@ -31,10 +31,18 @@ def _fused_backend_ok() -> bool:
     """Mosaic kernels lower on TPU only.  LVT_FORCE_FUSED=1 lets the CPU
     test suite route the fused paths under force_tpu_interpret_mode (the
     backend gate would otherwise silently fall back to the module path,
-    making kernel-vs-module parity tests vacuous)."""
+    making kernel-vs-module parity tests vacuous).
+
+    Under a tp>1 mesh the kernels are gated OFF (unless forced): Mosaic
+    custom calls have no GSPMD partitioning rules, so the model-sharded
+    query/key/value/proj weights would be all-gathered per apply and the
+    sub-block computed replicated — the XLA module path lets GSPMD shard
+    the dots instead (see swin3d.resolve_attn_impl, the same policy)."""
     import os
-    return (jax.default_backend() == "tpu"
-            or os.environ.get("LVT_FORCE_FUSED") == "1")
+    if os.environ.get("LVT_FORCE_FUSED") == "1":
+        return True
+    from lavender_tpu.parallel import mesh as pmesh
+    return jax.default_backend() == "tpu" and not pmesh.tp_active()
 
 Array = jax.Array
 KVCache = Tuple[Array, Array]  # k, v: [B, nH, Lcache, hd]

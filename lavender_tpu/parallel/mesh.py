@@ -185,6 +185,20 @@ def global_mesh() -> Optional[Mesh]:
     return _GLOBAL_MESH
 
 
+def tp_active() -> bool:
+    """True when the installed global mesh has a model axis > 1 — used to
+    gate the Pallas kernel paths: Mosaic custom calls carry no GSPMD
+    partitioning rules, so a pallas_call consuming a model-sharded weight
+    (e.g. ``attn/qkv/kernel`` = P(None, 'model')) forces GSPMD to
+    all-gather the operand and compute the block fully replicated on
+    every device — numerically correct (test_parallel asserts parity) but
+    it erases TP's compute scaling.  Under tp>1 the auto paths use the
+    XLA modules so GSPMD shards the dots Megatron-style per the param
+    rules above."""
+    m = global_mesh()
+    return m is not None and m.shape[MODEL_AXIS] > 1
+
+
 def global_dp() -> int:
     """Data-axis extent of the installed mesh (1 when none) — the group
     count for per-shard in-batch negative pools."""

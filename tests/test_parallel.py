@@ -276,3 +276,75 @@ def test_zero1_sharded_step_matches_unsharded(tiny):
     for a, b in zip(jax.tree_util.tree_leaves(ref_state2.params),
                     jax.tree_util.tree_leaves(new_s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1.5e-4)
+
+
+def test_wm_kernels_under_tp_mesh_parity():
+    """TP x Pallas (round-5 VERDICT #5): run the Swin wm kernel path
+    (forced, interpret mode) on a (data=4, model=2) mesh with the qkv/
+    proj/MLP weights TP-sharded by the param rules, and assert numerical
+    parity with the unsharded apply.
+
+    What this proves: correctness of the kernel path when a user forces
+    impl='wm' under tp>1 — GSPMD resolves the sharded operands feeding
+    the kernel (on real TPU hardware Mosaic custom calls carry no
+    partitioning rules, so it gathers them to replicated), and results
+    match tp=1 exactly.  Because that gather erases TP's compute scaling,
+    the 'auto' policy resolves to the XLA path under tp>1
+    (resolve_attn_impl; test below).
+
+    Uses the GENERIC Pallas interpreter (LVT_PL_INTERPRET) — the
+    TPU-semantics interpreter is a host callback, which SPMD partitioning
+    rejects ('side-effect HLO cannot have a replicated sharding')."""
+    from jax.sharding import NamedSharding
+    from lavender_tpu.models.swin3d import VideoSwin3D
+
+    cfg = SwinConfig(attn_impl="wm", embed_dim=8, depths=(2, 2),
+                     num_heads=(1, 2), window_size=(8, 7, 7),
+                     drop_path_rate=0.0, scan_blocks=True)
+    g = np.random.RandomState(7)
+    x = jnp.asarray(g.randn(4, 2, 56, 56, 3).astype(np.float32))
+    m = VideoSwin3D(cfg)
+    import os
+    os.environ["LVT_PL_INTERPRET"] = "1"
+    try:
+        variables = m.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(m.apply(variables, x))
+
+        mesh = pmesh.make_mesh(8, tp=2)
+        pspecs = pmesh.param_pspecs(variables["params"])
+        # the rules actually hit the swin tree (qkv/proj/mlp kernels)
+        flat = jax.tree_util.tree_leaves_with_path(pspecs)
+        hit = [p for p, s in flat if s != P()]
+        assert any("qkv" in jax.tree_util.keystr(p) for p in hit), hit
+        params_s = jax.tree_util.tree_map(
+            lambda v, s: jax.device_put(v, NamedSharding(mesh, s)),
+            variables["params"], pspecs)
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(pmesh.DATA_AXIS)))
+        got = np.asarray(
+            jax.jit(lambda v, a: m.apply(v, a))({"params": params_s}, xs))
+    finally:
+        os.environ.pop("LVT_PL_INTERPRET", None)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_auto_impl_resolves_to_xla_under_tp(monkeypatch):
+    """The 'auto' kernel policy under tp>1: Swin resolves to the XLA path
+    and the BERT fused gates turn off, so GSPMD shards the dots instead
+    of all-gathering weights into replicated Pallas calls."""
+    from lavender_tpu.models import swin3d
+    from lavender_tpu.models import bert as bert_mod
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    old = pmesh.global_mesh()
+    try:
+        pmesh.set_global_mesh(pmesh.make_mesh(8, tp=1))
+        assert swin3d.resolve_attn_impl("auto") == "wm"
+        assert bert_mod._fused_backend_ok()
+        pmesh.set_global_mesh(pmesh.make_mesh(8, tp=2))
+        assert pmesh.tp_active()
+        assert swin3d.resolve_attn_impl("auto") == "xla"
+        assert not bert_mod._fused_backend_ok()
+        # forcing wm stays honored (and is parity-tested above)
+        assert swin3d.resolve_attn_impl("wm") == "wm"
+    finally:
+        pmesh.set_global_mesh(old)
