@@ -87,6 +87,16 @@ _NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
 # chain on real hardware.  Never enabled in any product path.
 _NOEXP2 = __import__("os").environ.get("LVT_NOEXP2", "0") == "1"
 _NOBIAS = __import__("os").environ.get("LVT_NOBIAS", "0") == "1"
+if _NOEXP2 or _NOBIAS:
+    # advisor (round 4, low): these break the math — if the flag leaks
+    # into a real run via an inherited environment, outputs are garbage.
+    # Be loud about it at import so no silent-corruption run goes
+    # undiagnosed.
+    import warnings as _warnings
+    _warnings.warn(
+        "LVT_NOEXP2/LVT_NOBIAS are MATH-BREAKING timing probes — model "
+        "outputs will be wrong.  Unset them for any non-probe run.",
+        stacklevel=2)
 
 
 def _pexp(s):
@@ -120,6 +130,15 @@ _COREBWD = __import__("os").environ.get("LVT_COREBWD", "1") == "1"
 
 def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
+
+
+def _pl_interpret() -> bool:
+    """LVT_PL_INTERPRET=1 routes the block pallas_calls through the
+    GENERIC Pallas interpreter (pure-JAX lowering, no host callback) —
+    unlike force_tpu_interpret_mode this composes with GSPMD sharding, so
+    the TP x Pallas parity test (test_parallel) can run the kernel path
+    on a multi-device CPU mesh.  Read dynamically (trace time)."""
+    return __import__("os").environ.get("LVT_PL_INTERPRET", "0") == "1"
 
 
 def supports_fused_block(D: int, H: int, W: int,
@@ -640,6 +659,7 @@ def _fused_block_forward(x: Array, ln_scale, ln_bias, wqkv, bqkv, wproj,
             flops=B * nR * flops_step,
             bytes_accessed=2 * xk.size * xk.dtype.itemsize,
             transcendentals=B * nR * nWc * nH * Np * Np),
+        interpret=_pl_interpret(),
     )(xk, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
       bias_p, mask, *mlp_args)
 
@@ -929,36 +949,120 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     ln = ln * scale_ref[:].astype(jnp.float32) \
         + lnb_ref[:].astype(jnp.float32)
 
-    attn_window = _make_attn_window(
-        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
-        Np=Npad, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
-
-    if G <= 4:
-        # static loop: constant 8-aligned row offsets (Npad % 8 == 0)
+    if _WMQKV:
+        # slab-level qkv + proj (see _WMQKV above): one dot per (kind,
+        # group) at M = G*Npad instead of per window; only the score/pv
+        # dots stay per-(window, head).  Per-head attention outputs land
+        # in the ln_buf scratch (LN values are consumed by the qkv dots,
+        # so the buffer is free) and ONE proj dot per group finishes the
+        # slab.
+        n_grp = wq_ref.shape[0]
+        g_width = wq_ref.shape[2]
+        g_size = nH // n_grp
+        hd = g_width // g_size
+        ln_dt = ln.astype(dt)
+        qs, ks, vs = [], [], []
+        for g in range(n_grp):
+            qg = (jax.lax.dot_general(
+                ln_dt, wq_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[0, g]) \
+                * attn_scale
+            kg = jax.lax.dot_general(
+                ln_dt, wk_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[1, g]
+            vg = jax.lax.dot_general(
+                ln_dt, wv_ref[g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b3_ref[2, g]
+            qs.append(qg.astype(dt))
+            ks.append(kg.astype(dt))
+            vs.append(vg.astype(dt))
         for w in range(G):
-            xw = ln[w * Npad:(w + 1) * Npad].astype(dt)
+            r0 = w * Npad
             mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
                       else None)
-            out = attn_window(xw, mask_w)
-            res = x[w * Npad:(w + 1) * Npad]
-            o_ref[0, w * Npad:(w + 1) * Npad, :] = \
-                out.astype(dt) + res.astype(dt)
+            for g in range(n_grp):
+                ol_parts = []
+                o_parts = []
+                for i in range(g_size):
+                    h = g * g_size + i
+                    q = qs[g][r0:r0 + Npad, i * hd:(i + 1) * hd]
+                    k = ks[g][r0:r0 + Npad, i * hd:(i + 1) * hd]
+                    v = vs[g][r0:r0 + Npad, i * hd:(i + 1) * hd]
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    if bias_ref is not None and not _NOBIAS:
+                        s = s + bias_ref[h].astype(s.dtype)
+                    if mask_w is not None:
+                        s = s + mask_w.astype(s.dtype)
+                    p = _pexp(s).astype(dt)
+                    if _EPI:
+                        ol = jax.lax.dot_general(
+                            p, jnp.concatenate(
+                                [v, jnp.ones((Npad, hd), dt)], axis=1),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        ol_parts.append(ol)
+                    else:
+                        ol = jax.lax.dot_general(
+                            p, jnp.concatenate(
+                                [v, jnp.ones((Npad, 8), dt)], axis=1),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
+                        o_parts.append((ol[:, :hd] / l).astype(dt))
+                if _EPI:
+                    o_all = (jnp.concatenate(
+                        [ol[:, :hd] for ol in ol_parts], axis=1)
+                        if g_size > 1 else ol_parts[0][:, :hd])
+                    l_all = (jnp.concatenate(
+                        [ol[:, hd:] for ol in ol_parts], axis=1)
+                        if g_size > 1 else ol_parts[0][:, hd:])
+                    og = (o_all / jnp.maximum(l_all, 1e-30)).astype(dt)
+                else:
+                    og = (jnp.concatenate(o_parts, axis=1)
+                          if g_size > 1 else o_parts[0])
+                ln_buf[r0:r0 + Npad, g * g_width:(g + 1) * g_width] = og
+        o_all_slab = ln_buf[:]
+        acc = jnp.zeros((G * Npad, C), jnp.float32)
+        for g in range(n_grp):
+            acc = acc + jax.lax.dot_general(
+                o_all_slab[:, g * g_width:(g + 1) * g_width], wp_ref[g],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc + bp_ref[:].astype(jnp.float32)
+        o_ref[0] = acc.astype(dt) + x.astype(dt)
     else:
-        # rolled fori (full unrolls spill — PERF.md "v4" experiment);
-        # dynamic row offsets w*Npad are 8-aligned
-        ln_buf[:] = ln.astype(dt)
+        attn_window = _make_attn_window(
+            wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, bias_ref,
+            Np=Npad, C=C, nH=nH, attn_scale=attn_scale, dt=dt)
 
-        def win_body(w, _):
-            xw = ln_buf[pl.ds(w * Npad, Npad), :]
-            mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
-                      else None)
-            out = attn_window(xw, mask_w)
-            res = x_ref[0, pl.ds(w * Npad, Npad), :]
-            o_ref[0, pl.ds(w * Npad, Npad), :] = \
-                out.astype(dt) + res.astype(dt)
-            return 0
+        if G <= 4:
+            # static loop: constant 8-aligned row offsets (Npad % 8 == 0)
+            for w in range(G):
+                xw = ln[w * Npad:(w + 1) * Npad].astype(dt)
+                mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
+                          else None)
+                out = attn_window(xw, mask_w)
+                res = x[w * Npad:(w + 1) * Npad]
+                o_ref[0, w * Npad:(w + 1) * Npad, :] = \
+                    out.astype(dt) + res.astype(dt)
+        else:
+            # rolled fori (full unrolls spill — PERF.md "v4" experiment);
+            # dynamic row offsets w*Npad are 8-aligned
+            ln_buf[:] = ln.astype(dt)
 
-        jax.lax.fori_loop(0, G, win_body, 0)
+            def win_body(w, _):
+                xw = ln_buf[pl.ds(w * Npad, Npad), :]
+                mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
+                          else None)
+                out = attn_window(xw, mask_w)
+                res = x_ref[0, pl.ds(w * Npad, Npad), :]
+                o_ref[0, pl.ds(w * Npad, Npad), :] = \
+                    out.astype(dt) + res.astype(dt)
+                return 0
+
+            jax.lax.fori_loop(0, G, win_body, 0)
 
     if with_mlp:
         # LN2 + MLP + residual on the whole slab, row-chunked so the f32
@@ -1108,6 +1212,7 @@ def _fused_block_forward_wm_shift(x: Array, ln_scale, ln_bias, wqkv, bqkv,
             flops=B * flops_step,
             bytes_accessed=2 * x2.size * x2.dtype.itemsize,
             transcendentals=B * nW * nH * Npad * Npad),
+        interpret=_pl_interpret(),
     )(x2, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
       bias_p, m)
     return out.reshape(B, nW, Npad, C)
@@ -1182,6 +1287,18 @@ fused_swin_block_wm_shifted.defvjp(_wms_fwd, _wms_bwd)
 # VMEM pressure — stage 3 (C=512) moves from G=2 to G=4 at 1 MB.
 _WMSLAB = int(__import__("os").environ.get("LVT_WMSLAB", "524288"))
 _WMGMAX = int(__import__("os").environ.get("LVT_WMGMAX", "4"))
+
+# LVT_WMQKV (round-5 stage-1/2 lever, default ON pending TPU A/B): hoist
+# the qkv and projection dots to SLAB level inside the wm kernel.  The
+# per-window attn_window body issues 3 qkv dots + 1 proj dot per window
+# at M = Npad (248 rows) — at stage 1 that is 4 windows x 4 thin-M dots
+# per grid step plus per-head score/pv dots, ~80 small MXU ops whose
+# issue/pipeline overhead the xprof table shows as stage 1 running at
+# 36% of peak vs its ~65% blended hd=32 ceiling.  Slab-level, the same
+# math is 3 qkv dots + 1 proj dot per (group, grid step) at M = G*Npad
+# (992 rows at stage 1) — 4x fewer full-width dots at 4x the M — with
+# only the inherently per-(window, head) score/pv dots left thin.
+_WMQKV = __import__("os").environ.get("LVT_WMQKV", "1") == "1"
 
 
 def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
@@ -1288,6 +1405,7 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
             flops=B * (nW // G) * flops_step,
             bytes_accessed=2 * x2.size * x2.dtype.itemsize,
             transcendentals=B * nW * nH * Npad * Npad),
+        interpret=_pl_interpret(),
     )(x2, ln_scale, ln_bias, w3[0], w3[1], w3[2], b3, wp_h, bproj,
       bias_p, m, *mlp_args)
     return out.reshape(B, nW, Npad, C)
@@ -1513,3 +1631,47 @@ def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
 
 
 fused_swin_block_wm_full.defvjp(_wm_full_fwd, _wm_full_bwd)
+
+
+# LVT_SWINTRAIN (round-5 Swin-backward lever, default ON pending TPU A/B):
+# in TRAIN mode, run the wm attention half as a PLAIN differentiable
+# composition (LN + qkv dot in XLA, flash core attention kernel, proj in
+# XLA) instead of the fused custom_vjp kernel.  The fused kernels' vjp
+# re-runs the WHOLE forward inside the backward (res = raw inputs); plain
+# AD instead stores the LN/qkv/core outputs in HBM and the backward
+# consumes them directly — trading ~4 slab round-trips of storage traffic
+# for the full forward recompute.  Round-4 measured Swin bwd at 3.5x fwd
+# (71.6 vs 20.3 ms) with the residue attributed to exactly this recompute
+# chain (PERF.md round-4 train decomposition).
+_SWINTRAIN = __import__("os").environ.get("LVT_SWINTRAIN", "1") == "1"
+
+
+def swin_train_composition() -> bool:
+    """Dynamic read so tests/batteries can flip LVT_SWINTRAIN per run."""
+    import os
+    return os.environ.get("LVT_SWINTRAIN", "1") == "1"
+
+
+def wm_attn_half_train(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
+                       bias, mask, spatial, window, nH, attn_scale, eps):
+    """Train-mode wm attention half (x + proj(attn(LN(x))), pads
+    identity) as a plain-AD composition — see _SWINTRAIN.  The softmax
+    sandwich still runs through the flash swin_core_attn kernel (Pallas
+    fwd AND bwd, scores VMEM-only); everything around it is XLA dense
+    math whose intermediates AD stores instead of recomputing."""
+    ref = _wm_ref_core if _use_core_bwd(x, nH) else _wm_ref_native
+    return ref(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj, bias,
+               mask, spatial, window, nH, attn_scale, eps)
+
+
+def wm_attn_half_train_shifted(x, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                               bproj, bias, mask, spatial, window, shift,
+                               nH, attn_scale, eps):
+    """Shifted-block train composition: wm_shift (one-pass Pallas
+    permutation, exact-inverse vjp) around wm_attn_half_train."""
+    D, H, W = spatial
+    xs = wm_shift(x, window, D, H, W, shift)
+    ys = wm_attn_half_train(xs, ln_scale, ln_bias, wqkv, bqkv, wproj,
+                            bproj, bias, mask, spatial, window, nH,
+                            attn_scale, eps)
+    return wm_shift(ys, window, D, H, W, shift, inverse=True)
