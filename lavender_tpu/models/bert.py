@@ -165,6 +165,31 @@ class BertSelfAttention(nn.Module):
 
     def __call__(self, x: Array, attn_bias: Array,
                  deterministic: bool = True) -> Array:
+        cfg = self.config
+        import os as _os
+        if (getattr(cfg, "fused_attn_train", False) and not deterministic
+                and x.dtype == jnp.bfloat16 and _fused_backend_ok()
+                and not self.is_initializing()
+                and _os.environ.get("LVT_ATTNLANES", "1") == "1"):
+            # round-5 train path: LANES-layout train kernel — q/k/v/o stay
+            # [B, L, C] (heads = static lane slices in-kernel), deleting
+            # the 4 fwd + 4 bwd [B, L, C] <-> [B, nH, L, hd] relayouts the
+            # heads-layout kernel forces per layer (~110 MB/layer/dir at
+            # the B^2-pair train shape; attn sub-block measured 29% of
+            # peak, PERF.md crossparts).  Math/dropout semantics identical
+            # (ops/encoder_attention.py lanes kernels, parity-tested).
+            from lavender_tpu.ops.encoder_attention import (
+                fused_encoder_attention_train_lanes)
+            B, L, _ = x.shape
+            mask = jnp.broadcast_to(attn_bias, (B, 1, L, L)).reshape(B, L, L)
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, 2 ** 31 - 1, jnp.int32)
+            return fused_encoder_attention_train_lanes(
+                self.query(x), self.key(x), self.value(x),
+                mask.astype(jnp.float32), seed,
+                float(cfg.head_dim) ** -0.5,
+                float(cfg.attention_probs_dropout_prob),
+                cfg.num_attention_heads)
         q = self._heads(self.query(x))
         k = self._heads(self.key(x))
         v = self._heads(self.value(x))

@@ -713,3 +713,224 @@ def encoder_attention_train_debug(q, k, v, mask, seed, scale, rate):
     ([B, nH, L, L], values in {0, 1/(1-rate)}) — test hook to verify the
     backward regenerates identical bits."""
     return _train_forward(q, k, v, mask, seed, scale, rate, emit_mask=True)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode attention in LANES layout: q/k/v stay [B, L, C] with heads as
+# STATIC lane slices, like the Swin wm kernels (_make_attn_window) and the
+# serving whole-sub-block kernel above.
+#
+# Why (round-5, PERF.md crossparts): the heads-layout train kernel above
+# still forces 4 [B, L, C] <-> [B, nH, L, hd] relayouts per layer around
+# itself (q/k/v in, o out) plus 4 more in backward (dq/dk/dv/do) — at the
+# flagship train shape (B^2 = 64 pairs, L = 280, C = 768) that is ~110 MB
+# of pure relayout traffic per layer per direction on a ~122 GB/s chip,
+# and the attention sub-block measured 29% of peak fwd.  In lanes layout
+# the qkv/proj dots consume/produce [B*L, C] directly (XLA's optimal
+# shape, no transpose), and dwq = x^T @ dq_all needs no relayout either.
+# The in-kernel math is identical to the heads-layout kernels: per-head
+# static lane slices feed the same score/softmax/dropout/pv chain, the
+# backward regenerates the dropout bits (same seed, same per-head order).
+# Reference: HF BertSelfAttention under /root/reference/model.py:223-243.
+# ---------------------------------------------------------------------------
+
+
+def _enc_attn_train_lanes_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref,
+                                 o_ref, *, nH: int, scale: float,
+                                 rate: float, mask_out_ref=None):
+    """Forward: one grid step = one batch element; q/k/v/o [1, Lp, C].
+    scale/mask pre-folded with log2(e); dropout bits from the TPU PRNG
+    (seeded per batch element, drawn per head in ascending order)."""
+    C = q_ref.shape[2]
+    hd = C // nH
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + b)
+    mask = mask_ref[0].astype(jnp.float32)
+    for h in range(nH):
+        q = q_ref[0][:, h * hd:(h + 1) * hd]
+        k = k_ref[0][:, h * hd:(h + 1) * hd]
+        v = v_ref[0][:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + mask
+        p = jnp.exp2(jnp.minimum(s, 115.4156))
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        m = _keep_mask(p.shape, rate, jnp.float32)
+        if mask_out_ref is not None:
+            mask_out_ref[0, h] = m
+        o = jax.lax.dot_general(
+            (p * m).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = (o / l).astype(o_ref.dtype)
+
+
+def _enc_attn_train_lanes_bwd_kernel(seed_ref, q_ref, k_ref, v_ref,
+                                     mask_ref, g_ref, dq_ref, dk_ref,
+                                     dv_ref, dmask_ref, *, nH: int,
+                                     scale: float, rate: float):
+    """Backward: recompute scores AND the dropout bits (same seed, same
+    per-head order as the forward), then the softmax-attention VJP — all
+    [Lp, Lp] tensors VMEM-only, all slabs in lanes layout."""
+    C = q_ref.shape[2]
+    hd = C // nH
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0] + b)
+    mask = mask_ref[0].astype(jnp.float32)
+    scale_nat = scale / _LOG2E
+    for h in range(nH):
+        q = q_ref[0][:, h * hd:(h + 1) * hd]
+        k = k_ref[0][:, h * hd:(h + 1) * hd]
+        v = v_ref[0][:, h * hd:(h + 1) * hd]
+        g = g_ref[0][:, h * hd:(h + 1) * hd].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + mask
+        p_raw = jnp.exp2(jnp.minimum(s, 115.4156))
+        l = jnp.maximum(jnp.sum(p_raw, axis=-1, keepdims=True), 1e-30)
+        p = p_raw / l
+        m = _keep_mask(p.shape, rate, jnp.float32)
+        pm = (p * m).astype(v.dtype)
+        dv_ref[0, :, h * hd:(h + 1) * hd] = jax.lax.dot_general(
+            pm, g.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dp = m * jax.lax.dot_general(
+            g.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dq_ref[0, :, h * hd:(h + 1) * hd] = (jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale_nat).astype(dq_ref.dtype)
+        dk_ref[0, :, h * hd:(h + 1) * hd] = (jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale_nat).astype(dk_ref.dtype)
+        if h == 0:
+            dmask_ref[0] = ds
+        else:
+            dmask_ref[0] = dmask_ref[0] + ds
+
+
+def _lanes_pad(q, k, v, mask):
+    B, L, C = q.shape
+    Lp = _round8(L)
+    mask = jnp.maximum(mask, -1e4) * _LOG2E
+    if Lp != L:
+        pad = ((0, 0), (0, Lp - L), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        mask = jnp.pad(mask, ((0, 0), (0, Lp - L), (0, Lp - L)),
+                       constant_values=-1e4 * _LOG2E)
+    return q, k, v, mask, Lp
+
+
+def _lanes_specs(B, Lp, C):
+    slab = pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, Lp, Lp), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return slab, mask_spec
+
+
+def _lanes_train_forward(q, k, v, mask, seed, scale, rate, nH,
+                         emit_mask=False):
+    B, L, C = q.shape
+    qp, kp, vp, maskp, Lp = _lanes_pad(q, k, v, mask)
+    slab, mask_spec = _lanes_specs(B, Lp, C)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    out_shapes = [jax.ShapeDtypeStruct((B, Lp, C), q.dtype)]
+    out_specs = [slab]
+    if emit_mask:
+        out_shapes.append(jax.ShapeDtypeStruct((B, nH, Lp, Lp),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec((1, nH, Lp, Lp),
+                                      lambda b: (b, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def kern(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *extra):
+        _enc_attn_train_lanes_kernel(
+            seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
+            nH=nH, scale=scale * _LOG2E, rate=rate,
+            mask_out_ref=extra[0] if extra else None)
+
+    hd = C // nH
+    outs = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  slab, slab, slab, mask_spec],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nH * Lp * Lp * hd,
+            bytes_accessed=8 * B * Lp * C + 2 * B * Lp * Lp,
+            transcendentals=B * nH * Lp * Lp),
+    )(seed_arr, qp, kp, vp, maskp)
+    o = outs[0][:, :L] if Lp != L else outs[0]
+    if emit_mask:
+        return o, outs[1][:, :, :L, :L] if Lp != L else outs[1]
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_encoder_attention_train_lanes(q: Array, k: Array, v: Array,
+                                        mask: Array, seed: Array,
+                                        scale: float, rate: float,
+                                        nH: int) -> Array:
+    """Training attention with q/k/v/o in LANES layout [B, L, C] (heads =
+    static lane slices): softmax + attention-probs dropout with probs and
+    bits VMEM-only in both directions, and NO head relayouts around the
+    kernel.  mask: [B, L, L] additive; seed: int32 scalar; rate: drop
+    probability (static); nH: head count (C % nH == 0)."""
+    return _lanes_train_forward(q, k, v, mask, seed, scale, rate, nH)
+
+
+def _lanes_fwd(q, k, v, mask, seed, scale, rate, nH):
+    return (_lanes_train_forward(q, k, v, mask, seed, scale, rate, nH),
+            (q, k, v, mask, seed))
+
+
+def _lanes_bwd(scale, rate, nH, res, g):
+    import numpy as np
+    q, k, v, mask, seed = res
+    B, L, C = q.shape
+    qp, kp, vp, maskp, Lp = _lanes_pad(q, k, v, mask)
+    gp = jnp.pad(g, ((0, 0), (0, Lp - L), (0, 0))) if Lp != L else g
+    slab, mask_spec = _lanes_specs(B, Lp, C)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    hd = C // nH
+    dq, dk, dv, dmask = pl.pallas_call(
+        functools.partial(_enc_attn_train_lanes_bwd_kernel,
+                          nH=nH, scale=scale * _LOG2E, rate=rate),
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  slab, slab, slab, mask_spec, slab],
+        out_specs=[slab, slab, slab, mask_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, Lp, C), q.dtype),
+                   jax.ShapeDtypeStruct((B, Lp, C), k.dtype),
+                   jax.ShapeDtypeStruct((B, Lp, C), v.dtype),
+                   jax.ShapeDtypeStruct((B, Lp, Lp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=11 * B * nH * Lp * Lp * hd,
+            bytes_accessed=16 * B * Lp * C + 2 * B * Lp * Lp,
+            transcendentals=B * nH * Lp * Lp),
+    )(seed_arr, qp, kp, vp, maskp, gp)
+    if Lp != L:
+        dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
+        dmask = dmask[:, :L, :L]
+    dmask = jnp.where(mask > -1e4, dmask, 0.0).astype(mask.dtype)
+    dseed = np.zeros(jnp.shape(seed), jax.dtypes.float0)
+    return dq, dk, dv, dmask, dseed
+
+
+fused_encoder_attention_train_lanes.defvjp(_lanes_fwd, _lanes_bwd)
+
+
+def encoder_attention_train_lanes_debug(q, k, v, mask, seed, scale, rate,
+                                        nH):
+    """Forward that also returns the dropout scale-mask ([B, nH, L, L],
+    {0, 1/(1-rate)}) — test hook for fwd/bwd bit consistency."""
+    return _lanes_train_forward(q, k, v, mask, seed, scale, rate, nH,
+                                emit_mask=True)

@@ -299,3 +299,155 @@ def test_attn_block_kmask_gradients_match_reference():
     for a, b in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# Lanes-layout TRAIN kernel (round-5): q/k/v stay [B, L, C], heads are
+# static lane slices — no head relayouts around the kernel.
+# --------------------------------------------------------------------------
+
+
+def _mk_lanes(B, L, C, seed=0, big_neg=-1e9):
+    g = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(g.randn(B, L, C).astype(np.float32) * 0.5)
+    q, k, v = mk(), mk(), mk()
+    keep = g.rand(B, L) > 0.2
+    keep[:, 0] = True
+    mask = jnp.asarray(np.where(keep[:, None, :], 0.0, big_neg)
+                       .astype(np.float32))
+    mask = jnp.broadcast_to(mask, (B, L, L))
+    return q, k, v, mask
+
+
+def _lanes_to_heads(t, nH):
+    B, L, C = t.shape
+    return t.reshape(B, L, nH, C // nH).transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("L", [32, 29])
+def test_train_lanes_rate0_matches_reference(L):
+    from lavender_tpu.ops.encoder_attention import (
+        fused_encoder_attention_train_lanes)
+    B, C, nH = 2, 64, 4
+    hd = C // nH
+    q, k, v, mask = _mk_lanes(B, L, C, seed=3, big_neg=-1e4)
+    want = encoder_attention_reference(
+        _lanes_to_heads(q, nH), _lanes_to_heads(k, nH),
+        _lanes_to_heads(v, nH), mask, hd ** -0.5)
+    want = want.transpose(0, 2, 1, 3).reshape(B, L, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_encoder_attention_train_lanes(
+            q, k, v, mask, jnp.int32(7), hd ** -0.5, 0.0, nH)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_train_lanes_rate0_gradients():
+    from lavender_tpu.ops.encoder_attention import (
+        fused_encoder_attention_train_lanes)
+    B, L, C, nH = 1, 24, 32, 2
+    hd = C // nH
+    q, k, v, mask = _mk_lanes(B, L, C, seed=4, big_neg=-1e4)
+
+    def loss_ref(q, k, v):
+        o = encoder_attention_reference(
+            _lanes_to_heads(q, nH), _lanes_to_heads(k, nH),
+            _lanes_to_heads(v, nH), mask, hd ** -0.5)
+        return jnp.sum(o ** 2)
+
+    def loss_lanes(q, k, v):
+        return jnp.sum(fused_encoder_attention_train_lanes(
+            q, k, v, mask, jnp.int32(7), hd ** -0.5, 0.0, nH) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gt = jax.grad(loss_lanes, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_train_lanes_dropout_mask_consistency():
+    """Forward == oracle evaluated with the kernel's own emitted dropout
+    mask; backward == the vjp of that oracle (fwd/bwd use the same bits)."""
+    from lavender_tpu.ops.encoder_attention import (
+        encoder_attention_train_lanes_debug,
+        fused_encoder_attention_train_lanes)
+    B, L, C, nH = 1, 16, 32, 2
+    hd = C // nH
+    rate = 0.3
+    q, k, v, mask = _mk_lanes(B, L, C, seed=5, big_neg=-1e4)
+
+    with pltpu.force_tpu_interpret_mode():
+        o, m = encoder_attention_train_lanes_debug(
+            q, k, v, mask, jnp.int32(11), hd ** -0.5, rate, nH)
+
+    def oracle_with_mask(q, k, v):
+        qh, kh, vh = (_lanes_to_heads(t, nH) for t in (q, k, v))
+        s = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
+                       preferred_element_type=jnp.float32) * (hd ** -0.5)
+        s = s + jnp.maximum(mask, -1e4)[:, None]
+        p = jax.nn.softmax(s, axis=-1) * m
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, vh,
+                       preferred_element_type=jnp.float32)
+        return o.transpose(0, 2, 1, 3).reshape(B, L, C)
+
+    want = oracle_with_mask(q, k, v)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_lanes(q, k, v):
+        return jnp.sum(fused_encoder_attention_train_lanes(
+            q, k, v, mask, jnp.int32(11), hd ** -0.5, rate, nH) ** 2)
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(oracle_with_mask(q, k, v) ** 2)
+
+    go = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gt = jax.grad(loss_lanes, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gt, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-4)
+
+
+def test_train_lanes_module_matches_heads_kernel():
+    """BertSelfAttention train forward through the LANES kernel equals the
+    heads-layout train kernel bit-for-bit in expectation: both draw the
+    per-head dropout bits in the same (seed, head) order, so with the
+    same rng the masks are IDENTICAL and outputs match to numerics."""
+    import os
+    from lavender_tpu.config import BertConfig
+    from lavender_tpu.models.bert import BertSelfAttention
+
+    # rate 0: interpret mode stubs prng bits to zeros (rate>0 would drop
+    # everything on both paths, making the comparison vacuous); the
+    # rate>0 bit semantics are covered by the mask-consistency test above
+    cfg = BertConfig(vocab_size=32, hidden_size=64, num_hidden_layers=1,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=32, fused_attn_train=True,
+                     attention_probs_dropout_prob=0.0)
+    B, L = 2, 16
+    g = np.random.RandomState(0)
+    x = jnp.asarray(g.randn(B, L, 64).astype(np.float32))
+    bias = jnp.zeros((B, 1, L, L), jnp.float32)
+    mod = BertSelfAttention(cfg, dtype=jnp.bfloat16)
+    variables = mod.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16),
+                         bias, deterministic=True)
+    os.environ["LVT_FORCE_FUSED"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            os.environ["LVT_ATTNLANES"] = "1"
+            got = mod.apply(variables, x.astype(jnp.bfloat16), bias,
+                            deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(5)})
+            os.environ["LVT_ATTNLANES"] = "0"
+            want = mod.apply(variables, x.astype(jnp.bfloat16), bias,
+                             deterministic=False,
+                             rngs={"dropout": jax.random.PRNGKey(5)})
+    finally:
+        os.environ.pop("LVT_FORCE_FUSED", None)
+        os.environ.pop("LVT_ATTNLANES", None)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2)
