@@ -635,6 +635,33 @@ class SwinBlockWM(nn.Module):
         use_dp = not deterministic and dp_rate is not None
         if use_dp:
             rng1, rng2 = jax.random.split(self.make_rng("dropout"))
+
+        from lavender_tpu.ops.swin_block_attn import (
+            swin_train_composition, wm_attn_half_train,
+            wm_attn_half_train_shifted)
+        if not deterministic and swin_train_composition():
+            # LVT_SWINTRAIN: plain-AD composition — backward consumes
+            # stored LN/qkv/core intermediates instead of re-running the
+            # fused kernels' whole forward (Swin bwd was 3.5x fwd with
+            # the recompute chain as the residue; swin_block_attn notes)
+            from lavender_tpu.ops.fused_mlp import ln_mlp_reference
+            if self.inkernel_shift:
+                full = wm_attn_half_train_shifted(
+                    x, *args, (D, H, W), window_size, shift_size,
+                    self.num_heads, scale, self.layer_norm_eps)
+            else:
+                full = wm_attn_half_train(
+                    x, *args, (D, H, W), window_size, self.num_heads,
+                    scale, self.layer_norm_eps)
+            x = (drop_path_lerp(x, full, rate, deterministic, rng1)
+                 if use_dp else full)
+            flat = x.reshape(-1, C)
+            out = ln_mlp_reference(flat, n2_scale, n2_bias, k1, b1, k2,
+                                   b2, self.layer_norm_eps)
+            mlp_out = out.astype(self.dtype).reshape(x.shape)
+            if use_dp:
+                return x + drop_path(mlp_out, rate, deterministic, rng2)
+            return x + mlp_out
         if self.inkernel_shift:
             # shifted block with the cyclic shift fused into the kernel:
             # input/output stay in the UNSHIFTED layout (the caller skips
@@ -892,11 +919,19 @@ class BasicLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 pre_partitioned: bool = False,
+                 spatial: Optional[Tuple[int, int, int]] = None) -> Array:
         shift = tuple(w // 2 for w in self.window_size)
         from lavender_tpu.ops.swin_block_attn import (
             _round8, supports_fused_block, wm_partition, wm_reverse)
-        B, D, H, W, _ = x.shape
+        if pre_partitioned:
+            # LVT_EMBING ingress: x arrives ALREADY window-major
+            # [B, nW, Npad, C] (PatchEmbed3D._u8_embed_wm); the caller
+            # supplies the spatial dims the layout encodes
+            D, H, W = spatial
+        else:
+            B, D, H, W, _ = x.shape
         window_eff, _ = get_window_size((D, H, W), self.window_size, shift)
         impl = resolve_attn_impl(self.attn_impl)
         wm_ok = (impl == "wm" and self.qkv_bias
@@ -904,12 +939,19 @@ class BasicLayer(nn.Module):
                  and supports_fused_block(D, H, W, window_eff)
                  and self.scan_blocks and self.depth % 2 == 0
                  and self.depth >= 2)
+        if pre_partitioned and not wm_ok:
+            raise ValueError(
+                "pre-partitioned input requires the wm path "
+                f"(impl={impl}, spatial={spatial})")
         if wm_ok:
             n_pairs = self.depth // 2
             dpr = self.drop_path_rates or (0.0,) * self.depth
             dpr_pairs = jnp.asarray(dpr, jnp.float32).reshape(n_pairs, 2)
             Npad = _round8(int(np.prod(window_eff)))
-            x = wm_partition(x, window_eff, Npad)
+            if pre_partitioned:
+                assert x.shape[2] == Npad, (x.shape, Npad)
+            else:
+                x = wm_partition(x, window_eff, Npad)
             # Serving hoist: build every block's rel-pos bias in ONE
             # vmapped gather BEFORE the scan and feed the [n_pairs, nH,
             # Npad, Npad] stacks as scan xs.  Inside the scan the gather
@@ -1028,7 +1070,9 @@ class PatchEmbed3D(nn.Module):
     impl: str = "conv"
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 wm_window: Optional[Tuple[int, int, int]] = None,
+                 wm_npad: int = 0) -> Array:
         B, D, H, W, C = x.shape
         pd, ph, pw = self.patch_size
         pad_w = (pw - W % pw) % pw
@@ -1036,6 +1080,25 @@ class PatchEmbed3D(nn.Module):
         conv = nn.Conv(self.embed_dim, kernel_size=(pd, ph, pw),
                        strides=(1, ph, pw), padding="VALID",
                        dtype=self.dtype, name="proj")
+        if (wm_window is not None and x.dtype == jnp.uint8
+                and not self.is_initializing()
+                and pad_h == 0 and pad_w == 0 and pd == 2):
+            # LVT_EMBING (round-5 serving ingress): emit the embedding
+            # DIRECTLY in stage 1's window-major layout.  The u8 im2col
+            # relayout composes the s2d byte transpose WITH stage 1's
+            # wm_partition (one u8 copy replaces the s2d copy + the bf16
+            # [B, D, h2, w2, E] materialize + the wm partition copy), and
+            # the conv becomes one [*, 96] @ [96, E] MXU dot in wm layout
+            # with the same normalize fold as _u8_embed.  Serving-only
+            # (the caller gates on deterministic); pad rows carry finite
+            # garbage that the wm pipeline never reads (masked keys,
+            # dropped by wm_reverse).
+            out = self._u8_embed_wm(x, conv, B, D, H, W, C, ph, pw,
+                                    wm_window, wm_npad)
+            if self.patch_norm:
+                out = nn.LayerNorm(epsilon=self.layer_norm_eps,
+                                   dtype=self.dtype, name="norm")(out)
+            return out
         # deterministic gates the Pallas kernel path: it has no
         # custom_vjp (serving-only), so training keeps the jnp path
         if (_PEK and deterministic and x.dtype == jnp.uint8
@@ -1149,6 +1212,57 @@ class PatchEmbed3D(nn.Module):
         out = out + bias_t[None, :, None, None, :]
         return out.astype(self.dtype)
 
+    def _u8_embed_wm(self, x: Array, conv, B, D, H, W, C, ph, pw,
+                     wm_window, Npad: int) -> Array:
+        """_u8_embed emitted straight into window-major [B, nW, Npad, E].
+
+        Same normalize-folded matmul math (exactly _u8_embed per token —
+        parity-tested), but the im2col byte transpose lands tokens in the
+        wm order (window (r, c) row-major; in-window (d, i, j) row-major,
+        matching wm_partition), so stage 1 needs NO wm_partition and the
+        [B, D, h2, w2, E] bf16 intermediate never exists."""
+        from lavender_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        h2, w2 = H // ph, W // pw
+        wh, ww = wm_window[1], wm_window[2]
+        nR, nWc = h2 // wh, w2 // ww
+        N = wm_window[0] * wh * ww
+        assert wm_window[0] == D and h2 % wh == 0 and w2 % ww == 0
+        # u8 space-to-depth (same as _u8_embed) ...
+        xs = x.reshape(B, D, h2, ph, w2, pw, C)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6)
+        xs = xs.reshape(B, D, h2, w2, ph * pw * C)
+        zpad = jnp.zeros((B, 1, h2, w2, ph * pw * C), jnp.uint8)
+        xp = jnp.concatenate([xs, zpad], axis=1)
+        feat = jnp.concatenate([xp[:, :D], xp[:, 1:D + 1]], axis=-1)
+        # ... composed with the wm partition: [B, D, h2, w2, 96] ->
+        # [B, nR*nWc, D*wh*ww, 96] (XLA fuses both into ONE u8 copy)
+        feat = feat.reshape(B, D, nR, wh, nWc, ww, feat.shape[-1])
+        feat = feat.transpose(0, 2, 4, 1, 3, 5, 6)
+        feat = feat.reshape(B, nR * nWc, N, feat.shape[-1])
+        if Npad > N:
+            feat = jnp.pad(feat, ((0, 0), (0, 0), (0, Npad - N), (0, 0)))
+        kern = conv.variables["params"]["kernel"].astype(jnp.float32)
+        bias = conv.variables["params"]["bias"].astype(jnp.float32)
+        a = 1.0 / (255.0 * np.asarray(IMAGENET_STD, np.float32))
+        b = -(np.asarray(IMAGENET_MEAN, np.float32)
+              / np.asarray(IMAGENET_STD, np.float32))
+        kscaled = kern * jnp.asarray(a)[None, None, None, :, None]
+        shift = jnp.einsum("dhwce,c->de", kern, jnp.asarray(b))
+        # per-ROW time index: in-window rows are (d, i, j) row-major, so
+        # d = row // (wh*ww); pad rows clamp to D-1 (content is dead)
+        d_row = jnp.minimum(jnp.arange(Npad) // (wh * ww), D - 1)
+        bias_row = (bias[None, :] + shift[0][None, :]
+                    + (d_row < D - 1)[:, None].astype(jnp.float32)
+                    * shift[1][None, :])  # [Npad, E]
+        kmat = kscaled.reshape(-1, self.embed_dim)
+        mm_dt = self.dtype
+        out = jax.lax.dot_general(
+            feat.astype(mm_dt), kmat.astype(mm_dt),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + bias_row[None, None, :, :]
+        return out.astype(self.dtype)
+
 
 class VideoSwin3D(nn.Module):
     """Full Video Swin 3D backbone.
@@ -1167,17 +1281,62 @@ class VideoSwin3D(nn.Module):
         cfg = self.config
         if x.dtype != jnp.uint8:
             x = x.astype(self.dtype)
+
+        # LVT_EMBING (round-5, default OFF pending TPU A/B): serving-only
+        # window-major embed ingress — the patch embed emits stage 1's
+        # [B, nW, Npad, E] layout directly, deleting the spatial embed
+        # intermediate AND stage 1's wm_partition copy.  Gate mirrors
+        # BasicLayer's wm_ok for stage 1 exactly.
+        embing = False
+        emb_geom = None
+        import os as _os
+        if (_os.environ.get("LVT_EMBING", "0") == "1"
+                and deterministic and x.dtype == jnp.uint8
+                and not self.is_initializing()
+                and resolve_attn_impl(cfg.attn_impl) == "wm"
+                and cfg.scan_blocks and not cfg.remat and cfg.qkv_bias
+                and cfg.patch_size[0] == 2
+                and cfg.depths[0] % 2 == 0 and cfg.depths[0] >= 2):
+            from lavender_tpu.ops.swin_block_attn import (
+                _round8, supports_fused_block)
+            B0, T0, H0, W0, _ = x.shape
+            ph, pw = cfg.patch_size[1], cfg.patch_size[2]
+            if H0 % ph == 0 and W0 % pw == 0:
+                h2, w2 = H0 // ph, W0 // pw
+                shift0 = tuple(w // 2 for w in cfg.window_size)
+                weff, _ = get_window_size((T0, h2, w2), cfg.window_size,
+                                          shift0)
+                if supports_fused_block(T0, h2, w2, weff):
+                    embing = True
+                    emb_geom = (T0, h2, w2, weff,
+                                _round8(int(np.prod(weff))))
+
         # uint8 input flows RAW into the patch embed (the normalize is
         # folded into the conv weights there — see PatchEmbed3D._u8_embed)
-        x = PatchEmbed3D(
-            patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
-            patch_norm=cfg.patch_norm, layer_norm_eps=cfg.layer_norm_eps,
-            dtype=self.dtype, name="patch_embed")(x, deterministic)
+        if embing:
+            D0, h2, w2, weff, Npad0 = emb_geom
+            x = PatchEmbed3D(
+                patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
+                patch_norm=cfg.patch_norm,
+                layer_norm_eps=cfg.layer_norm_eps,
+                dtype=self.dtype, name="patch_embed")(
+                x, deterministic, wm_window=weff, wm_npad=Npad0)
+        else:
+            x = PatchEmbed3D(
+                patch_size=cfg.patch_size, embed_dim=cfg.embed_dim,
+                patch_norm=cfg.patch_norm,
+                layer_norm_eps=cfg.layer_norm_eps,
+                dtype=self.dtype, name="patch_embed")(x, deterministic)
 
         num_layers = len(cfg.depths)
         dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
         for i in range(num_layers):
             start = sum(cfg.depths[:i])
+            extra = {}
+            if embing and i == 0:
+                extra = dict(pre_partitioned=True,
+                             spatial=(emb_geom[0], emb_geom[1],
+                                      emb_geom[2]))
             x = BasicLayer(
                 dim=int(cfg.embed_dim * 2 ** i),
                 depth=cfg.depths[i],
@@ -1193,7 +1352,8 @@ class VideoSwin3D(nn.Module):
                 scan_blocks=cfg.scan_blocks,
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
-                name=f"layers_{i}")(x, deterministic=deterministic)
+                name=f"layers_{i}")(x, deterministic=deterministic,
+                                    **extra)
 
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="norm")(x)
