@@ -115,7 +115,8 @@ def main():
 
         def full_step(state, carry):
             batch = batch_of(carry)
-            rng_d, _ = jax.random.split(state.rng)
+            rng_d, _ = jax.random.split(jax.random.wrap_key_data(
+                state.rng, impl=trainer.TRAIN_PRNG_IMPL))
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, batch, rng_d)
             updates, _ = tx.update(grads, state.opt_state, state.params)

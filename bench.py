@@ -177,7 +177,12 @@ def main():
             def body(state, _):
                 img = device_normalize(img_u8, dtype=jnp.bfloat16)
                 batch = {"img": img, "txt": txt, "mask": mask, "vid": vid}
-                rng, new_rng = jax.random.split(state.rng)
+                # state.rng is raw key DATA (typed-key train PRNG, may be
+                # rbg); wrap before split exactly like trainer.step_fn
+                key = jax.random.wrap_key_data(
+                    state.rng, impl=trainer.TRAIN_PRNG_IMPL)
+                rng, new_key = jax.random.split(key)
+                new_rng = jax.random.key_data(new_key)
                 out, grads = jax.value_and_grad(loss_fn)(
                     state.params, batch, rng)
                 import optax

@@ -24,7 +24,13 @@ def _jpeg_b64(rs, size=48):
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("dataset")
+    return build_demo_data_dir(tmp_path_factory.mktemp("dataset"))
+
+
+def build_demo_data_dir(d):
+    """Synthetic dataset dir in the reference file layout — plain function
+    so non-fixture callers (test_multihost's 2-process CLI smoke) can
+    build one too."""
     rs = np.random.RandomState(0)
     n_vid, n_frames = 6, 4
     rows = []
