@@ -61,6 +61,13 @@ class Agent:
         self.train_prep = train_prep
         self.tcfg = tcfg
         self.logging_steps = 20
+        # optional TensorBoard scalars (reference utils/logger.py:119-161
+        # analog; opt-in like the reference's unused writer): rank 0 only
+        self.tb = None
+        if (run_cfg.extra.get("tensorboard")
+                and pmesh.is_main_process()):
+            from lavender_tpu.utils.tb import TensorboardLogger
+            self.tb = TensorboardLogger(run_cfg.path_output)
 
     @staticmethod
     def _default_to_device(batch):
@@ -96,6 +103,9 @@ class Agent:
                 self.logger.info(
                     f"ep {ep} step {idx + 1} loss {loss_v:.4f} "
                     f"({self.throughput(n_clips, t0)})")
+                if self.tb is not None:
+                    self.tb.set_step(int(self.state.step))
+                    self.tb.add_scalar("ls_tr", loss_v)
             losses.append(loss)
             n_clips += len(next(iter(batch.values())))
         vals = [float(l) for l in losses]
@@ -247,6 +257,10 @@ def run_finetune(agent: Agent, dl_tr, dl_vl, dl_ts, size_epoch: int,
         agent.log["ls_tr"].append(ls_tr)
         agent.log["ac_vl"].append(ac_vl)
         agent.log["ac_ts"].append(ac_ts)
+        if agent.tb is not None:
+            agent.tb.add_scalars(
+                {"ls_tr": ls_tr, "ac_vl": ac_vl, "ac_ts": ac_ts}, step=e + 1)
+            agent.tb.flush()
         agent.save_model(e + 1)
         logger.info(f"Ep {e + 1}: {ls_tr:.6f} {ac_vl:.6f} {ac_ts:.6f}")
     if size_epoch:

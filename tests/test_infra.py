@@ -475,3 +475,72 @@ def test_ckpt_args_inheritance(tmp_path):
     cfg = load_run_config({"path_ckpt": str(tmp_path / "none.pt"),
                            "size_img": 224})
     assert cfg.data.size_img == 224
+
+
+def test_tensorboard_logger_wire_format(tmp_path):
+    """The dependency-free event writer produces valid TFRecord framing
+    (masked crc32c on header and payload) and scalar Event protos a
+    minimal parser can read back (reference analog: utils/logger.py:119)."""
+    import struct
+    from lavender_tpu.utils.tb import (TensorboardLogger, _masked_crc,
+                                       _varint)
+    tb = TensorboardLogger(str(tmp_path))
+    tb.add_scalar("loss", 0.5, step=3)
+    tb.set_step(7)
+    tb.add_scalars({"acc": 0.25, "skipme": "not-a-number"}, prefix="vl")
+    tb.close()
+
+    raw = open(tb.path, "rb").read()
+    records = []
+    off = 0
+    while off < len(raw):
+        (ln,) = struct.unpack_from("<Q", raw, off)
+        (hcrc,) = struct.unpack_from("<I", raw, off + 8)
+        assert hcrc == _masked_crc(raw[off:off + 8])
+        data = raw[off + 12:off + 12 + ln]
+        (dcrc,) = struct.unpack_from("<I", raw, off + 12 + ln)
+        assert dcrc == _masked_crc(data)
+        records.append(data)
+        off += 12 + ln + 4
+
+    assert len(records) == 3  # file_version + 2 scalar events
+
+    def read_varint(b, i):
+        v, sh = 0, 0
+        while True:
+            v |= (b[i] & 0x7F) << sh
+            i += 1
+            if not b[i - 1] & 0x80:
+                return v, i
+            sh += 7
+
+    def parse_event(b):
+        i, out = 0, {}
+        while i < len(b):
+            key, i = read_varint(b, i)
+            field, wire = key >> 3, key & 7
+            if wire == 0:
+                v, i = read_varint(b, i)
+                out[field] = v
+            elif wire == 1:
+                out[field] = struct.unpack_from("<d", b, i)[0]
+                i += 8
+            elif wire == 5:
+                out[field] = struct.unpack_from("<f", b, i)[0]
+                i += 4
+            elif wire == 2:
+                ln, i = read_varint(b, i)
+                out.setdefault(field, []).append(b[i:i + ln])
+                i += ln
+        return out
+
+    ev0 = parse_event(records[0])
+    assert ev0[3] == [b"brain.Event:2"]
+    ev1 = parse_event(records[1])
+    assert ev1[2] == 3  # step
+    val1 = parse_event(parse_event(ev1[5][0])[1][0])
+    assert val1[1] == [b"loss"] and abs(val1[2] - 0.5) < 1e-7
+    ev2 = parse_event(records[2])
+    assert ev2[2] == 7  # global step via set_step
+    val2 = parse_event(parse_event(ev2[5][0])[1][0])
+    assert val2[1] == [b"vl_acc"] and abs(val2[2] - 0.25) < 1e-7
