@@ -87,16 +87,35 @@ _NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
 # chain on real hardware.  Never enabled in any product path.
 _NOEXP2 = __import__("os").environ.get("LVT_NOEXP2", "0") == "1"
 _NOBIAS = __import__("os").environ.get("LVT_NOBIAS", "0") == "1"
-if _NOEXP2 or _NOBIAS:
+
+# LVT_NOPV / LVT_NOSPV / LVT_NOQP / LVT_NOMLPP (timing PROBES, default
+# OFF — math-breaking): cumulative ablations of the wm kernel interior
+# for the round-5 stage-1/2 decomposition (VERDICT round-4 next-#1:
+# "decompose INSIDE the wm kernel at stage-1 geometry").  Designed so
+# same-session stanza DIFFS attribute time to one op class each:
+#   NOMLPP           drop the fused MLP tail            -> MLP cost
+#   NOMLPP+NOPV      also drop the pv dot + epilogue    -> pv+epi cost
+#                    (per-head output = p[:, :hd] + v so the v dot is
+#                    NOT DCE'd out of the qkv stanza diff)
+#   NOMLPP+NOSPV     also drop score dot + softmax      -> score+exp2
+#                    (output = q+k+v slices, keeping all 3 qkv dots)
+#   NOMLPP+NOQP      also drop qkv + proj dots          -> qkv+proj
+#                    (output = LN + residual: base = LN+grid+copies)
+# _WMQKV path only (the shipping default).
+_NOPV = __import__("os").environ.get("LVT_NOPV", "0") == "1"
+_NOSPV = __import__("os").environ.get("LVT_NOSPV", "0") == "1"
+_NOQP = __import__("os").environ.get("LVT_NOQP", "0") == "1"
+_NOMLPP = __import__("os").environ.get("LVT_NOMLPP", "0") == "1"
+if _NOEXP2 or _NOBIAS or _NOPV or _NOSPV or _NOQP or _NOMLPP:
     # advisor (round 4, low): these break the math — if the flag leaks
     # into a real run via an inherited environment, outputs are garbage.
     # Be loud about it at import so no silent-corruption run goes
     # undiagnosed.
     import warnings as _warnings
     _warnings.warn(
-        "LVT_NOEXP2/LVT_NOBIAS are MATH-BREAKING timing probes — model "
-        "outputs will be wrong.  Unset them for any non-probe run.",
-        stacklevel=2)
+        "LVT_NOEXP2/LVT_NOBIAS/LVT_NOPV/LVT_NOSPV/LVT_NOQP/LVT_NOMLPP "
+        "are MATH-BREAKING timing probes — model outputs will be wrong.  "
+        "Unset them for any non-probe run.", stacklevel=2)
 
 
 def _pexp(s):
@@ -949,7 +968,11 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     ln = ln * scale_ref[:].astype(jnp.float32) \
         + lnb_ref[:].astype(jnp.float32)
 
-    if _WMQKV:
+    if _NOQP:
+        # PROBE: LN + residual only — the stanza's remainder is the
+        # kernel's non-dot base (grid machinery, LN passes, copies).
+        o_ref[0] = ln.astype(dt) + x.astype(dt)
+    elif _WMQKV:
         # slab-level qkv + proj (see _WMQKV above): one dot per (kind,
         # group) at M = G*Npad instead of per window; only the score/pv
         # dots stay per-(window, head).  Per-head attention outputs land
@@ -981,6 +1004,13 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             mask_w = (mask_ref[w].astype(jnp.float32) if with_mask
                       else None)
             for g in range(n_grp):
+                if _NOSPV:
+                    # PROBE: keep all three qkv dots live, drop the
+                    # score/softmax/pv chain.
+                    og = (qs[g] + ks[g] + vs[g])[r0:r0 + Npad]
+                    ln_buf[r0:r0 + Npad,
+                           g * g_width:(g + 1) * g_width] = og
+                    continue
                 ol_parts = []
                 o_parts = []
                 for i in range(g_size):
@@ -996,7 +1026,11 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                     if mask_w is not None:
                         s = s + mask_w.astype(s.dtype)
                     p = _pexp(s).astype(dt)
-                    if _EPI:
+                    if _NOPV:
+                        # PROBE: keep the score dot + softmax + the v
+                        # dot (via the add), drop the pv dot + epilogue.
+                        o_parts.append(p[:, :hd] + v)
+                    elif _EPI:
                         ol = jax.lax.dot_general(
                             p, jnp.concatenate(
                                 [v, jnp.ones((Npad, hd), dt)], axis=1),
@@ -1011,7 +1045,7 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                             preferred_element_type=jnp.float32)
                         l = jnp.maximum(ol[:, hd:hd + 1], 1e-30)
                         o_parts.append((ol[:, :hd] / l).astype(dt))
-                if _EPI:
+                if _EPI and not _NOPV:
                     o_all = (jnp.concatenate(
                         [ol[:, :hd] for ol in ol_parts], axis=1)
                         if g_size > 1 else ol_parts[0][:, :hd])
@@ -1064,7 +1098,7 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
             jax.lax.fori_loop(0, G, win_body, 0)
 
-    if with_mlp:
+    if with_mlp and not _NOMLPP:
         # LN2 + MLP + residual on the whole slab, row-chunked so the f32
         # [rows, HD] GELU temps stay within scoped VMEM (see _block_kernel)
         from lavender_tpu.ops.fused_mlp import _gelu_exact
