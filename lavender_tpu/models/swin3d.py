@@ -640,10 +640,10 @@ class SwinBlockWM(nn.Module):
             swin_train_composition, wm_attn_half_train,
             wm_attn_half_train_shifted)
         if not deterministic and swin_train_composition():
-            # LVT_SWINTRAIN: plain-AD composition — backward consumes
-            # stored LN/qkv/core intermediates instead of re-running the
-            # fused kernels' whole forward (Swin bwd was 3.5x fwd with
-            # the recompute chain as the residue; swin_block_attn notes)
+            # LVT_SWINTRAIN (opt-in, measured LOSS — see the flag note in
+            # swin_block_attn.py): plain-AD composition — backward
+            # consumes stored LN/qkv/core intermediates instead of
+            # re-running the fused kernels' whole forward
             from lavender_tpu.ops.fused_mlp import ln_mlp_reference
             if self.inkernel_shift:
                 full = wm_attn_half_train_shifted(

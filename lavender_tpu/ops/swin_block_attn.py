@@ -1667,23 +1667,25 @@ def _wm_full_bwd(spatial, window, nH, attn_scale, eps, res, g):
 fused_swin_block_wm_full.defvjp(_wm_full_fwd, _wm_full_bwd)
 
 
-# LVT_SWINTRAIN (round-5 Swin-backward lever, default ON pending TPU A/B):
-# in TRAIN mode, run the wm attention half as a PLAIN differentiable
-# composition (LN + qkv dot in XLA, flash core attention kernel, proj in
-# XLA) instead of the fused custom_vjp kernel.  The fused kernels' vjp
-# re-runs the WHOLE forward inside the backward (res = raw inputs); plain
-# AD instead stores the LN/qkv/core outputs in HBM and the backward
-# consumes them directly — trading ~4 slab round-trips of storage traffic
-# for the full forward recompute.  Round-4 measured Swin bwd at 3.5x fwd
-# (71.6 vs 20.3 ms) with the residue attributed to exactly this recompute
-# chain (PERF.md round-4 train decomposition).
-_SWINTRAIN = __import__("os").environ.get("LVT_SWINTRAIN", "1") == "1"
+# LVT_SWINTRAIN (round-5 Swin-backward experiment, default OFF — MEASURED
+# LOSS): in TRAIN mode, run the wm attention half as a PLAIN
+# differentiable composition (LN + qkv dot in XLA, flash core attention
+# kernel, proj in XLA) instead of the fused custom_vjp kernel.  The
+# hypothesis was that the fused kernels' vjp re-running the WHOLE forward
+# inside the backward (res = raw inputs) was the round-4 Swin-bwd residue
+# (3.5x fwd); the round-5 TPU A/B measured the OPPOSITE: train 36.17
+# (composition ON) vs 41.98 (fused custom_vjp, OFF) — storing the
+# LN/qkv/core intermediates in HBM at the measured ~122 GB/s costs more
+# than the in-kernel recompute's extra FLOPs, the same tradeoff that made
+# `--remat` lose in round 2.  Kept env-gated for the record; parity tests
+# still cover both paths.
+_SWINTRAIN = __import__("os").environ.get("LVT_SWINTRAIN", "0") == "1"
 
 
 def swin_train_composition() -> bool:
     """Dynamic read so tests/batteries can flip LVT_SWINTRAIN per run."""
     import os
-    return os.environ.get("LVT_SWINTRAIN", "1") == "1"
+    return os.environ.get("LVT_SWINTRAIN", "0") == "1"
 
 
 def wm_attn_half_train(x, ln_scale, ln_bias, wqkv, bqkv, wproj, bproj,
