@@ -26,11 +26,31 @@ def _ocp():
     return ocp
 
 
+def _saver(ocp):
+    """StandardCheckpointer for the rank-0-only save paths.
+
+    Under ``jax.distributed`` the default checkpointer synchronizes ALL
+    processes around every save (async-save barrier through the
+    coordination service), but ``Agent.save_model``/``save_state`` gather
+    params host-local and then save from the main process only
+    (agent.py:164-182 semantics) — the other ranks never enter Orbax, so
+    the default global barrier deadlocks (observed: rank 0 hung in the
+    async-save shutdown barrier of the 2-process CLI smoke).  Scope the
+    barriers to the calling process instead; single-process behavior is
+    unchanged."""
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me}))
+    return ocp.StandardCheckpointer()
+
+
 def save_params(params, path: str):
     """Save a params pytree to an Orbax checkpoint directory."""
     ocp = _ocp()
     path = op.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _saver(ocp) as ckptr:
         ckptr.save(path, params, force=True)
 
 
@@ -49,7 +69,7 @@ def save_train_state(state, path: str):
     ocp = _ocp()
     payload = {"step": state.step, "params": state.params,
                "opt_state": state.opt_state, "rng": state.rng}
-    with ocp.StandardCheckpointer() as ckptr:
+    with _saver(ocp) as ckptr:
         ckptr.save(op.abspath(path), payload, force=True)
 
 

@@ -235,5 +235,13 @@ def test_two_process_cli_end_to_end(tmp_path):
     l0 = outs[0][0].split("CLIOK")[1].split()[0]
     l1 = outs[1][0].split("CLIOK")[1].split()[0]
     assert abs(float(l0) - float(l1)) < 1e-4, (l0, l1)
-    # rank 0 wrote the artifacts (is_main_process gating)
-    assert (tmp_path / "out0" / "args.json").exists()
+    # rank 0 wrote the artifacts (is_main_process gating); the CLI nests
+    # them under the timestamped run dir `_<task>_<ts>` (cli/main.py:991,
+    # the reference's add_path_output naming)
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "out0" / "*" / "args.json"))
+    assert _glob.glob(str(tmp_path / "out0" / "*" / "log.json"))
+    # the epoch checkpoint saved rank-0-only WITHOUT a global barrier
+    # (train/checkpoint.py _saver: the default Orbax multiprocess barrier
+    # deadlocked here — rank 1 never enters save)
+    assert _glob.glob(str(tmp_path / "out0" / "*" / "ckpt_toyret_1"))
