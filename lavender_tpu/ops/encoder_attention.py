@@ -59,6 +59,13 @@ _PVSUM = __import__("os").environ.get("LVT_PVSUM", "1") == "1"
 # exp2 clamp's min pass in the SERVING kernels; train kernels keep it.
 _NOCLAMP = __import__("os").environ.get("LVT_NOCLAMP", "0") == "1"
 
+# LVT_ENCG (experiment, default 1 = off): batch items per grid step in the
+# serving whole-sub-block attention kernel (fused_bert_attn_block_kmask).
+# G=2 halves the grid-step count (24 -> 12 at the flagship batch) so the
+# per-step slab double-buffer stalls amortize over twice the work; the
+# per-item dots are unchanged (the qkv/proj dots are already 128-lane).
+_ENCG = int(__import__("os").environ.get("LVT_ENCG", "1"))
+
 
 def _pexp(s):
     import jax.numpy as jnp
@@ -315,29 +322,33 @@ def fused_bert_attn_block_forward(x, wq, wk, wv, bq, bk, bv, wproj, bproj,
 def _attn_block_kernel_kmask(x_ref, wq_ref, wk_ref, wv_ref, b3_ref,
                              wp_ref, bp_ref, keep_ref, lns_ref,
                              lnb_ref, o_ref, *, Lp: int, C: int, nH: int,
-                             attn_scale: float, eps: float):
+                             attn_scale: float, eps: float, G: int = 1):
     """Key-padding variant: no [Lp, Lp] additive-mask pass.  Masked keys
-    are deleted by zeroing their k/v rows (keep_ref [1, Lp, 1] in dt) and
+    are deleted by zeroing their k/v rows (keep_ref [G, Lp, 1] in dt) and
     the softmax denominator is corrected by the masked-key count — exact
     (a zeroed key contributes exp2(0) = 1 to every row's l and 0 to the
     numerator).  n_masked is a [Lp, 1] reduce in-kernel (a [B, 1] VMEM
-    operand violates the Mosaic (8, 128) block-tile rule)."""
+    operand violates the Mosaic (8, 128) block-tile rule).  ``G`` batch
+    items per grid step (LVT_ENCG)."""
     from lavender_tpu.ops.swin_block_attn import _make_attn_window
     dt = o_ref.dtype
-    x = x_ref[0]
-    keep = keep_ref[0]
-    n_masked = jnp.float32(Lp) - jnp.sum(keep.astype(jnp.float32))
-    attn = _make_attn_window(
-        wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, None,
-        Np=Lp, C=C, nH=nH, attn_scale=attn_scale, dt=dt,
-        key_keep=keep, n_masked=n_masked)
-    out = attn(x, None)  # proj out + bias, f32
-    yf = out + x.astype(jnp.float32)
-    mu = jnp.mean(yf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) - jnp.square(mu)
-    ln = (yf - mu) * jax.lax.rsqrt(var + eps)
-    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
-    o_ref[0] = ln.astype(dt)
+    for g in range(G):
+        x = x_ref[g]
+        keep = keep_ref[g]
+        n_masked = jnp.float32(Lp) - jnp.sum(keep.astype(jnp.float32))
+        attn = _make_attn_window(
+            wq_ref, wk_ref, wv_ref, b3_ref, wp_ref, bp_ref, None,
+            Np=Lp, C=C, nH=nH, attn_scale=attn_scale, dt=dt,
+            key_keep=keep, n_masked=n_masked)
+        out = attn(x, None)  # proj out + bias, f32
+        yf = out + x.astype(jnp.float32)
+        mu = jnp.mean(yf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
+            - jnp.square(mu)
+        ln = (yf - mu) * jax.lax.rsqrt(var + eps)
+        ln = ln * lns_ref[:].astype(jnp.float32) \
+            + lnb_ref[:].astype(jnp.float32)
+        o_ref[g] = ln.astype(dt)
 
 
 def fused_bert_attn_block_kmask_forward(x, wq, wk, wv, bq, bk, bv, wproj,
@@ -370,23 +381,24 @@ def fused_bert_attn_block_kmask_forward(x, wq, wk, wv, bq, bk, bv, wproj,
     dt = x.dtype
     keep_col = keep.astype(dt).reshape(B, Lp, 1)
 
+    G = _ENCG if (_ENCG > 1 and B % _ENCG == 0) else 1
     full = lambda shape: pl.BlockSpec(
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_block_kernel_kmask, Lp=Lp, C=C, nH=nH,
-                          attn_scale=scale * _LOG2E, eps=eps),
-        grid=(B,),
+                          attn_scale=scale * _LOG2E, eps=eps, G=G),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, Lp, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             full((n_grp, C, gw)), full((n_grp, C, gw)),
             full((n_grp, C, gw)), full((3, n_grp, 1, gw)),
             full((n_grp, gw, C)), full((C,)),
-            pl.BlockSpec((1, Lp, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, Lp, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             full((C,)), full((C,)),
         ],
-        out_specs=pl.BlockSpec((1, Lp, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((G, Lp, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Lp, C), dt),
         cost_estimate=pl.CostEstimate(

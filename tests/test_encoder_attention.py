@@ -275,6 +275,33 @@ def test_attn_block_kmask_matches_reference(L):
                                atol=3e-5, rtol=3e-5)
 
 
+def test_attn_block_kmask_encg_batched_grid_matches():
+    """LVT_ENCG (G batch items per grid step) is bit-compatible with the
+    per-item grid, including a B not divisible by G (falls back to
+    G=1)."""
+    from lavender_tpu.ops import encoder_attention as ea
+    B, L, C, nH = 4, 26, 32, 2
+    args = _mk_kmask_block(B, L, C, seed=11)
+    old = ea._ENCG
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            ea._ENCG = 1
+            want = ea.fused_bert_attn_block_kmask_forward(
+                *args, nH, (C // nH) ** -0.5, 1e-12)
+            ea._ENCG = 2
+            got = ea.fused_bert_attn_block_kmask_forward(
+                *args, nH, (C // nH) ** -0.5, 1e-12)
+            ea._ENCG = 3  # 4 % 3 != 0 -> G=1 fallback
+            got3 = ea.fused_bert_attn_block_kmask_forward(
+                *args, nH, (C // nH) ** -0.5, 1e-12)
+    finally:
+        ea._ENCG = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_attn_block_kmask_gradients_match_reference():
     """custom_vjp backward (reference recompute) parity; key_mask
     cotangent is zero by contract."""
