@@ -1320,7 +1320,13 @@ fused_swin_block_wm_shifted.defvjp(_wms_fwd, _wms_bwd)
 # (fewer grid steps, better weight-reload amortization) at the cost of
 # VMEM pressure — stage 3 (C=512) moves from G=2 to G=4 at 1 MB.
 _WMSLAB = int(__import__("os").environ.get("LVT_WMSLAB", "524288"))
-_WMGMAX = int(__import__("os").environ.get("LVT_WMGMAX", "4"))
+# G cap 8 since round 5: with the 512 KB slab budget unchanged this only
+# raises G where C is small (Swin-B: stage 1 alone, 4 -> 8 at C=128) —
+# measured −0.30 ms on the stage-1 stanza (fewer grid steps amortize the
+# double-buffer boundary stalls) and +2.4 on the full bench (B6/B7,
+# PERF.md phase B).  The round-4 "G6" loss was the 1 MB slab bump moving
+# stage 3 to G=4, not the cap itself.
+_WMGMAX = int(__import__("os").environ.get("LVT_WMGMAX", "8"))
 
 # LVT_WMQKV (round-5 stage-1/2 lever, default ON pending TPU A/B): hoist
 # the qkv and projection dots to SLAB level inside the wm kernel.  The

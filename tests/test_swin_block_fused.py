@@ -578,11 +578,15 @@ def test_backbone_wm_group_bump_matches_default():
     mw = VideoSwin3D(cfg_w)
     with pltpu.force_tpu_interpret_mode():
         params = mw.init(jax.random.PRNGKey(0), x)
-        want = mw.apply(params, x)
         old_g, old_s = sba._WMGMAX, sba._WMSLAB
-        sba._WMGMAX, sba._WMSLAB = 8, 1048576
         try:
-            # stage 1 here has nW=64: default picks G=4, the bump G=8
+            # force a SMALL group for the control side (the shipping
+            # default is the round-5 G<=8 cap, which already picks 8 at
+            # this tiny geometry)
+            sba._WMGMAX, sba._WMSLAB = 2, 524288
+            assert sba._pick_wm_group(64, 120, 8) == 2
+            want = mw.apply(params, x)
+            sba._WMGMAX, sba._WMSLAB = 8, 1048576
             assert sba._pick_wm_group(64, 120, 8) == 8
             got = mw.apply(params, x)
         finally:
