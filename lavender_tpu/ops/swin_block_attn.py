@@ -956,17 +956,20 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                      n2s_ref, n2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                      o_ref, ln_buf, *, G: int, Npad: int, C: int, nH: int,
                      attn_scale: float, eps: float, with_mask: bool,
-                     with_mlp: bool):
+                     with_mlp: bool, fold_ln: bool = False):
     """One grid step = G whole windows, rows contiguous: x_ref/o_ref
-    [1, G*Npad, C]; mask_ref [G, Npad, Npad] when with_mask."""
+    [1, G*Npad, C]; mask_ref [G, Npad, Npad] when with_mask.  With
+    ``fold_ln`` the LN affines are pre-folded into wq/wk/wv/b3 and w1/b1
+    (LVT_LNFOLD) and the kernel applies the pure normalize only."""
     dt = ln_buf.dtype
     x = x_ref[0]  # [G*Npad, C]
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
     ln = (xf - mu) * jax.lax.rsqrt(var + eps)
-    ln = ln * scale_ref[:].astype(jnp.float32) \
-        + lnb_ref[:].astype(jnp.float32)
+    if not fold_ln:
+        ln = ln * scale_ref[:].astype(jnp.float32) \
+            + lnb_ref[:].astype(jnp.float32)
 
     if _NOQP:
         # PROBE: LN + residual only — the stanza's remainder is the
@@ -1114,8 +1117,9 @@ def _block_kernel_wm(x_ref, scale_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             var2 = jnp.mean(jnp.square(yf), axis=-1, keepdims=True) \
                 - jnp.square(mu2)
             ln2 = (yf - mu2) * jax.lax.rsqrt(var2 + eps)
-            ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
-                + n2b_ref[:].astype(jnp.float32)
+            if not fold_ln:
+                ln2 = ln2 * n2s_ref[:].astype(jnp.float32) \
+                    + n2b_ref[:].astype(jnp.float32)
             hmid = jax.lax.dot_general(
                 ln2.astype(dt), w1_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) \
@@ -1340,6 +1344,17 @@ _WMGMAX = int(__import__("os").environ.get("LVT_WMGMAX", "8"))
 # only the inherently per-(window, head) score/pv dots left thin.
 _WMQKV = __import__("os").environ.get("LVT_WMQKV", "1") == "1"
 
+# LVT_LNFOLD (round-5 stage-1 base lever, default OFF pending TPU A/B):
+# fold the LN affine into the consuming weights at TRACE time —
+# (x_norm * s + b) @ W == x_norm @ (diag(s) W) + b W — for LN1 -> qkv and
+# LN2 -> MLP w1 inside the wm kernel.  Deletes 4 slab-wide VPU passes per
+# full block (2 muls + 2 adds over [G*Npad, C] f32); the phase-B
+# decomposition measured the LN "base" chain as stage 1's largest
+# non-MLP cost (~1.5 ms/pair, PERF.md round-5).  The fold runs on the
+# host-visible weights ([C, 3C] mul + [C]·[C, 3C] dot per block,
+# ~2 MFLOP — noise), the kernel then applies the pure normalize only.
+_LNFOLD = __import__("os").environ.get("LVT_LNFOLD", "0") == "1"
+
 
 def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
     """Windows per grid step: largest divisor of nW (<= LVT_WMGMAX,
@@ -1369,9 +1384,23 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
             break
     n_grp = nH // g_size
     gw = g_size * hd
-    w3 = wqkv.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
-    b3 = (bqkv.reshape(3, n_grp, 1, gw) if bqkv is not None
-          else jnp.zeros((3, n_grp, 1, gw), wqkv.dtype))
+    fold_ln = _LNFOLD and _WMQKV
+    if fold_ln:
+        # LN1 affine folded into qkv (see _LNFOLD): W' = diag(s) W,
+        # b' = b_ln W + b_qkv, in f32 on the [C, 3C] weights (~2 MFLOP)
+        s32 = ln_scale.astype(jnp.float32)
+        blnf = ln_bias.astype(jnp.float32)
+        wq32 = wqkv.astype(jnp.float32)
+        wqf = (s32[:, None] * wq32).astype(wqkv.dtype)
+        bqf = blnf @ wq32
+        if bqkv is not None:
+            bqf = bqf + bqkv.astype(jnp.float32)
+        w3 = wqf.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+        b3 = bqf.astype(wqkv.dtype).reshape(3, n_grp, 1, gw)
+    else:
+        w3 = wqkv.reshape(C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+        b3 = (bqkv.reshape(3, n_grp, 1, gw) if bqkv is not None
+              else jnp.zeros((3, n_grp, 1, gw), wqkv.dtype))
     wp_h = wproj.reshape(n_grp, gw, C)
 
     dt = x.dtype
@@ -1413,6 +1442,13 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
     with_mlp = mlp is not None
     if with_mlp:
         n2s, n2b, w1, b1m, w2, b2m = [a.astype(dt) for a in mlp]
+        if fold_ln:
+            # LN2 affine folded into MLP w1/b1 (same identity as qkv)
+            n2s32 = mlp[0].astype(jnp.float32)
+            n2b32 = mlp[1].astype(jnp.float32)
+            w132 = mlp[2].astype(jnp.float32)
+            w1 = (n2s32[:, None] * w132).astype(dt)
+            b1m = (n2b32 @ w132 + mlp[3].astype(jnp.float32)).astype(dt)
         HD = w1.shape[1]
         in_specs += [full((C,)), full((C,)), full((C, HD)), full((HD,)),
                      full((HD, C)), full((C,))]
@@ -1427,7 +1463,7 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
     kernel = functools.partial(
         _block_kernel_wm, G=G, Npad=Npad, C=C, nH=nH,
         attn_scale=attn_scale * _LOG2E, eps=eps, with_mask=with_mask,
-        with_mlp=with_mlp)
+        with_mlp=with_mlp, fold_ln=fold_ln)
 
     flops_step = G * nH * (2 * Npad * C * hd * 3 + 4 * Npad * Npad * hd
                            + 2 * Npad * hd * C)

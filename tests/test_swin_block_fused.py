@@ -594,6 +594,31 @@ def test_backbone_wm_group_bump_matches_default():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_backbone_wm_lnfold_matches_default():
+    """LVT_LNFOLD (LN affine pre-folded into the qkv and MLP-w1 weights,
+    kernel applies the pure normalize only) must match the unfolded path
+    — same math by (x_norm*s + b) @ W == x_norm @ (diag(s) W) + b W."""
+    import lavender_tpu.ops.swin_block_attn as sba
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg_w = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(4)
+    x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
+    mw = VideoSwin3D(cfg_w)
+    with pltpu.force_tpu_interpret_mode():
+        params = mw.init(jax.random.PRNGKey(0), x)
+        want = mw.apply(params, x)
+        old = sba._LNFOLD
+        sba._LNFOLD = True
+        try:
+            got = mw.apply(params, x)
+        finally:
+            sba._LNFOLD = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_swintrain_composition_matches_fused_path():
     """LVT_SWINTRAIN (train-mode plain-AD composition: XLA LN/qkv/proj +
     flash core kernel, stored residuals) matches the fused custom_vjp
