@@ -29,4 +29,6 @@ echo "=== B6. stage-1-only G=8 (LVT_WMGMAX=8, default slab)"
 timeout 4200 env LVT_WMGMAX=8 $TC
 echo "=== B7. full bench at WMGMAX=8"
 timeout 4200 env LVT_WMGMAX=8 python bench.py
+echo "=== B8. cross-encoder sub-block decomposition at the winning train defaults (ATTNLANES=1, SWINTRAIN=0)"
+timeout 4200 python _perf/time_train.py --crossparts --fused-attn-train
 echo "=== phase B done"
