@@ -50,6 +50,17 @@ _IKS = __import__("os").environ.get("LVT_IKS", "0") == "1"
 # (VMEM-write-bound [Npad^2, nH] takes in stage 3).  Default ON.
 _BIASHOIST = __import__("os").environ.get("LVT_BIASHOIST", "1") == "1"
 
+# LVT_FOLDCACHE: when the serving cache is BUILT (build_serving_bias_cache)
+# also precompute, per block, the LN-affine-folded qkv and MLP-w1 weights
+# (W' = diag(s) W, b' = b_ln W + b) and have the wm kernels apply the pure
+# normalize only — deletes 4 slab-wide VPU passes per full block, the
+# largest measured non-MLP cost at stage 1 (phase-B decomposition,
+# PERF.md round 5).  The trace-time variant (LVT_LNFOLD) measured a −7.2
+# LOSS because the fold ops ride the block scan; the cache variant pays
+# the fold once at cache-build time and zero per step.  Applies ONLY when
+# a cache collection is present — cacheless applies are unchanged.
+_FOLDCACHE = __import__("os").environ.get("LVT_FOLDCACHE", "1") == "1"
+
 # LVT_PEK (experiment, default OFF until TPU-measured): route the raw-u8
 # patch embed through the Pallas block-diagonal kernel
 # (ops/patch_embed_u8.py) instead of the u8 s2d + matmul — the XLA
@@ -596,7 +607,8 @@ class SwinBlockWM(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True,
-                 dp_rate=None, bias: Optional[Array] = None) -> Array:
+                 dp_rate=None, bias: Optional[Array] = None,
+                 folded=None) -> Array:
         from lavender_tpu.ops.swin_block_attn import (
             _round8, full_block_fits_vmem, fused_swin_block_wm,
             fused_swin_block_wm_full, fused_swin_block_wm_shifted,
@@ -674,12 +686,31 @@ class SwinBlockWM(nn.Module):
                  if use_dp else full)
         elif not use_dp and full_block_fits_vmem(
                 C, hidden_f, self.num_heads, Npad):
+            if folded is not None and deterministic:
+                # serving fold cache (LVT_FOLDCACHE): inference-only, no
+                # custom_vjp needed — call the forward directly with the
+                # prebuilt folded weights
+                from lavender_tpu.ops.swin_block_attn import (
+                    _fused_block_forward_wm)
+                return _fused_block_forward_wm(
+                    x, *args, self.num_heads, scale, self.layer_norm_eps,
+                    mlp=(n2_scale, n2_bias, k1.astype(self.dtype),
+                         b1.astype(self.dtype), k2.astype(self.dtype),
+                         b2.astype(self.dtype)),
+                    folded=folded)
             return fused_swin_block_wm_full(
                 x, *args, n2_scale, n2_bias,
                 k1.astype(self.dtype), b1.astype(self.dtype),
                 k2.astype(self.dtype), b2.astype(self.dtype), *statics)
         elif not use_dp:
-            x = fused_swin_block_wm(x, *args, *statics)
+            if folded is not None and deterministic:
+                from lavender_tpu.ops.swin_block_attn import (
+                    _fused_block_forward_wm)
+                x = _fused_block_forward_wm(
+                    x, *args, self.num_heads, scale, self.layer_norm_eps,
+                    folded=folded)
+            else:
+                x = fused_swin_block_wm(x, *args, *statics)
         else:
             full = fused_swin_block_wm(x, *args, *statics)
             x = drop_path_lerp(x, full, rate, deterministic, rng1)
@@ -715,6 +746,23 @@ def _bias_fingerprint(ta: Array, tb: Array) -> Array:
     fa, fb = ta.astype(jnp.float32), tb.astype(jnp.float32)
     return jnp.stack([jnp.sum(fa), jnp.sum(jnp.square(fa)),
                       jnp.sum(fb), jnp.sum(jnp.square(fb))])
+
+
+def _fold_fingerprint(sub) -> Array:
+    """Staleness fingerprint of the fold cache's SOURCE params (norm1,
+    qkv kernel, norm2, mlp fc1 kernel for both pair sides): sum + sumsq
+    per array, stacked f32 — same collision argument as
+    _bias_fingerprint."""
+    parts = []
+    for side in ("a", "b"):
+        p = sub[side]
+        for arr in (p["norm1"]["scale"], p["norm1"]["bias"],
+                    p["attn"]["qkv"]["kernel"],
+                    p["norm2"]["scale"], p["norm2"]["bias"],
+                    p["mlp"]["fc1"]["kernel"]):
+            f = arr.astype(jnp.float32)
+            parts += [jnp.sum(f), jnp.sum(jnp.square(f))]
+    return jnp.stack(parts)
 
 
 def build_serving_bias_cache(model, variables, *example_args,
@@ -769,6 +817,18 @@ def check_serving_cache(variables) -> bool:
                         f"{want}).  Rebuild with build_serving_bias_cache "
                         f"after any param update, or drop the 'cache' "
                         f"collection.")
+            elif k == "fold_fp":
+                want = np.asarray(_fold_fingerprint(p["blocks_scan"]))
+                got = np.asarray(v)
+                if not np.array_equal(want, got):
+                    raise ValueError(
+                        f"stale serving bias cache at {'/'.join(path)}: "
+                        f"the cached LN-folded weights were built from "
+                        f"different params (fold fingerprint mismatch). "
+                        f"Rebuild with build_serving_bias_cache after any "
+                        f"param update, or drop the 'cache' collection.")
+            elif k in ("fold_a", "fold_b"):
+                continue
             elif isinstance(v, dict) or hasattr(v, "items"):
                 walk(v, p[k], path + (k,))
 
@@ -863,11 +923,14 @@ class _BlockPairWM(nn.Module):
     # when False the per-xs bias operands are dummies and each block
     # gathers its own rel-pos bias from its table
     use_hoisted_bias: bool = False
+    # LN-affine-folded weights from the serving fold cache (LVT_FOLDCACHE);
+    # when False the per-xs fold operands are dummies
+    use_folded: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, dpr: Array, bias_a: Array = None,
-                 bias_b: Array = None):
+                 bias_b: Array = None, fold_a=None, fold_b=None):
         from lavender_tpu.ops.swin_block_attn import (
             supports_inkernel_shift, wm_shift)
         D, H, W = self.spatial
@@ -875,6 +938,8 @@ class _BlockPairWM(nn.Module):
             (D, H, W), self.window_size, self.shift)
         if not self.use_hoisted_bias:
             bias_a = bias_b = None
+        if not self.use_folded:
+            fold_a = fold_b = None
         common = dict(
             dim=self.dim, num_heads=self.num_heads,
             window_size=self.window_size, spatial=self.spatial,
@@ -882,7 +947,7 @@ class _BlockPairWM(nn.Module):
             qk_scale=self.qk_scale, layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype)
         x = SwinBlockWM(shift_size=(0, 0, 0), name="a", **common)(
-            x, self.deterministic, dpr[0], bias_a)
+            x, self.deterministic, dpr[0], bias_a, fold_a)
         shifted = any(s > 0 for s in shift_size)
         B, nW, Npad, C = x.shape
         iks = (shifted and _IKS
@@ -892,7 +957,7 @@ class _BlockPairWM(nn.Module):
             x = wm_shift(x, window_size, D, H, W, shift_size)
         x = SwinBlockWM(shift_size=self.shift, inkernel_shift=iks,
                         name="b", **common)(x, self.deterministic, dpr[1],
-                                            bias_b)
+                                            bias_b, fold_b)
         if shifted and not iks:
             x = wm_shift(x, window_size, D, H, W, shift_size,
                          inverse=True)
@@ -989,6 +1054,47 @@ class BasicLayer(nn.Module):
                                       _bias_fingerprint(ta, tb))
             else:
                 bias_a = bias_b = jnp.zeros((n_pairs, 1, 1, 1), self.dtype)
+            # Serving fold cache (LVT_FOLDCACHE): LN-affine-folded qkv +
+            # MLP-w1 weights, USED only when prebuilt in the cache
+            # collection (cacheless applies pay nothing; the trace-time
+            # fold measured a −7.2 loss riding the scan — PERF.md).
+            fold_a = fold_b = None
+            if _FOLDCACHE and hoist:
+                if self.has_variable("cache", "fold_a"):
+                    fold_a = tuple(self.get_variable("cache", "fold_a"))
+                    fold_b = tuple(self.get_variable("cache", "fold_b"))
+                elif self.is_mutable_collection("cache"):
+                    sub = self.get_variable("params", "blocks_scan")
+
+                    def foldfn(p):
+                        n1s = p["norm1"]["scale"].astype(jnp.float32)
+                        n1b = p["norm1"]["bias"].astype(jnp.float32)
+                        wq = p["attn"]["qkv"]["kernel"].astype(jnp.float32)
+                        bq = p["attn"]["qkv"]["bias"].astype(jnp.float32)
+                        n2s = p["norm2"]["scale"].astype(jnp.float32)
+                        n2b = p["norm2"]["bias"].astype(jnp.float32)
+                        w1 = p["mlp"]["fc1"]["kernel"].astype(jnp.float32)
+                        b1 = p["mlp"]["fc1"]["bias"].astype(jnp.float32)
+                        return ((n1s[:, None] * wq).astype(self.dtype),
+                                (n1b @ wq + bq).astype(self.dtype),
+                                (n2s[:, None] * w1).astype(self.dtype),
+                                (n2b @ w1 + b1).astype(self.dtype))
+
+                    fold_a = jax.vmap(foldfn)(
+                        {k: sub["a"][k] for k in
+                         ("norm1", "attn", "norm2", "mlp")})
+                    fold_b = jax.vmap(foldfn)(
+                        {k: sub["b"][k] for k in
+                         ("norm1", "attn", "norm2", "mlp")})
+                    self.put_variable("cache", "fold_a", fold_a)
+                    self.put_variable("cache", "fold_b", fold_b)
+                    self.put_variable("cache", "fold_fp",
+                                      _fold_fingerprint(sub))
+            use_folded = fold_a is not None
+            if not use_folded:
+                z4 = tuple(jnp.zeros((n_pairs, 1), self.dtype)
+                           for _ in range(4))
+                fold_a = fold_b = z4
             scanned = nn.scan(
                 _BlockPairWM,
                 variable_axes={"params": 0},
@@ -1001,8 +1107,9 @@ class BasicLayer(nn.Module):
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 layer_norm_eps=self.layer_norm_eps,
                 deterministic=deterministic, use_hoisted_bias=hoist,
-                dtype=self.dtype,
-                name="blocks_scan")(x, dpr_pairs, bias_a, bias_b)
+                use_folded=use_folded, dtype=self.dtype,
+                name="blocks_scan")(x, dpr_pairs, bias_a, bias_b,
+                                    fold_a, fold_b)
             x = wm_reverse(x, window_eff, D, H, W)
             if self.has_downsample:
                 x = PatchMerging(dim=self.dim,

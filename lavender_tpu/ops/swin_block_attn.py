@@ -1369,11 +1369,15 @@ def _pick_wm_group(nW: int, Npad: int, C: int, itemsize: int = 2) -> int:
 def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
                             wproj, bproj, bias, mask, nH: int,
                             attn_scale: float, eps: float,
-                            mlp=None) -> Array:
+                            mlp=None, folded=None) -> Array:
     """x: [B, nW, Npad, C] window-major.  Returns x + proj(attn(LN(x)))
     (+ LN2/MLP/residual when ``mlp`` given).  ``bias``: [nH, Npad, Npad]
     tail-padded (rel_pos_bias_wm), natural units; ``mask``: [nW, N, N]
-    additive or None."""
+    additive or None.  ``folded``: PREBUILT LN-affine-folded weights
+    (wqkv_f [C, 3C], bqkv_f [3C], w1_f [C, HD], b1_f [HD]) from the
+    serving fold cache (models/swin3d.py) — the kernel then applies the
+    pure normalize only and the per-call fold cost that sank the
+    trace-time LVT_LNFOLD (−7.2, PERF.md phase D) is zero."""
     B, nW, Npad, C = x.shape
     hd = C // nH
 
@@ -1384,8 +1388,13 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
             break
     n_grp = nH // g_size
     gw = g_size * hd
-    fold_ln = _LNFOLD and _WMQKV
-    if fold_ln:
+    fold_ln = (folded is not None) or (_LNFOLD and _WMQKV)
+    if folded is not None:
+        wqf_c, bqf_c, _w1f, _b1f = folded
+        w3 = wqf_c.astype(wqkv.dtype).reshape(
+            C, 3, n_grp, gw).transpose(1, 2, 0, 3)
+        b3 = bqf_c.astype(wqkv.dtype).reshape(3, n_grp, 1, gw)
+    elif fold_ln:
         # LN1 affine folded into qkv (see _LNFOLD): W' = diag(s) W,
         # b' = b_ln W + b_qkv, in f32 on the [C, 3C] weights (~2 MFLOP)
         s32 = ln_scale.astype(jnp.float32)
@@ -1442,7 +1451,10 @@ def _fused_block_forward_wm(x: Array, ln_scale, ln_bias, wqkv, bqkv,
     with_mlp = mlp is not None
     if with_mlp:
         n2s, n2b, w1, b1m, w2, b2m = [a.astype(dt) for a in mlp]
-        if fold_ln:
+        if folded is not None:
+            w1 = _w1f.astype(dt)
+            b1m = _b1f.astype(dt)
+        elif fold_ln:
             # LN2 affine folded into MLP w1/b1 (same identity as qkv)
             n2s32 = mlp[0].astype(jnp.float32)
             n2b32 = mlp[1].astype(jnp.float32)

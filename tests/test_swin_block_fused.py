@@ -498,6 +498,7 @@ def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
     x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
     m = VideoSwin3D(cfg)
     old = swin3d_mod._BIASHOIST
+    old_fold = swin3d_mod._FOLDCACHE
     try:
         with pltpu.force_tpu_interpret_mode():
             variables = m.init(jax.random.PRNGKey(0), x)
@@ -505,6 +506,10 @@ def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
             want = m.apply(variables, x)          # per-block gather
             swin3d_mod._BIASHOIST = True
             got_hoist = m.apply(variables, x)     # pre-scan vmapped gather
+            # bit-exactness holds for the BIAS layout moves; the fold
+            # cache is a separate (rounding-level) transform — tested in
+            # test_serving_fold_cache_matches_unfolded
+            swin3d_mod._FOLDCACHE = False
             vcache = build_serving_bias_cache(m, variables, x,
                                               use_jit=False)
             assert "cache" in vcache, "no cache collection built"
@@ -515,10 +520,44 @@ def test_wm_bias_hoist_and_serving_cache_match_per_block_gather():
             got_cache = m.apply(vcache, x)        # prebuilt cache read
     finally:
         swin3d_mod._BIASHOIST = old
+        swin3d_mod._FOLDCACHE = old_fold
     np.testing.assert_allclose(np.asarray(got_hoist), np.asarray(want),
                                atol=0, rtol=0)
     np.testing.assert_allclose(np.asarray(got_cache), np.asarray(want),
                                atol=0, rtol=0)
+
+
+def test_serving_fold_cache_matches_unfolded():
+    """LVT_FOLDCACHE: the prebuilt LN-affine-folded weights (fold_a/fold_b
+    in the cache collection) produce the same backbone output as the
+    unfolded kernels — same math by (x_norm*s + b) @ W == x_norm @
+    (diag(s) W) + b W; cacheless applies are untouched by the flag."""
+    import lavender_tpu.models.swin3d as swin3d_mod
+    from lavender_tpu.models.swin3d import build_serving_bias_cache
+    common = dict(embed_dim=8, depths=(2, 2), num_heads=(1, 2),
+                  window_size=(8, 7, 7), drop_path_rate=0.0,
+                  scan_blocks=True)
+    cfg = SwinConfig(attn_impl="wm", **common)
+    g = np.random.RandomState(12)
+    x = jnp.asarray(g.randn(1, 2, 56, 56, 3).astype(np.float32))
+    m = VideoSwin3D(cfg)
+    old_fold = swin3d_mod._FOLDCACHE
+    try:
+        swin3d_mod._FOLDCACHE = True
+        with pltpu.force_tpu_interpret_mode():
+            variables = m.init(jax.random.PRNGKey(0), x)
+            want = m.apply(variables, x)          # no cache: unfolded
+            vcache = build_serving_bias_cache(m, variables, x,
+                                              use_jit=False)
+            cache_paths = [
+                jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(vcache["cache"])[0]]
+            assert any("fold_a" in p for p in cache_paths), cache_paths
+            got = m.apply(vcache, x)              # folded weights read
+    finally:
+        swin3d_mod._FOLDCACHE = old_fold
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_serving_cache_staleness_guard():
@@ -562,6 +601,21 @@ def test_serving_cache_staleness_guard():
     stale = {**stale, "params": bump_tables(params)}
     with pytest.raises(ValueError, match="stale serving bias cache"):
         check_serving_cache(stale)
+
+    # fold-cache staleness: a norm1 update leaves the bias tables alone
+    # but must trip the fold fingerprint (LVT_FOLDCACHE)
+    def bump_norm1(t):
+        if isinstance(t, dict) or hasattr(t, "items"):
+            return {k: ({**dict(v), "scale": np.asarray(v["scale"]) + 1.0}
+                        if k == "norm1" else bump_norm1(v))
+                    for k, v in dict(t).items()}
+        return t
+
+    stale2 = {**vcache, "params": bump_norm1(
+        jax.tree_util.tree_map(lambda v: v, jax.device_get(
+            vcache["params"])))}
+    with pytest.raises(ValueError, match="LN-folded weights"):
+        check_serving_cache(stale2)
 
 
 def test_backbone_wm_group_bump_matches_default():
