@@ -820,7 +820,11 @@ def check_serving_cache(variables) -> bool:
             elif k == "fold_fp":
                 want = np.asarray(_fold_fingerprint(p["blocks_scan"]))
                 got = np.asarray(v)
-                if not np.array_equal(want, got):
+                # tolerance, not bitwise: the build-time sums run inside
+                # jit (fused reduction order) while this recompute is
+                # eager — same values within float rounding; any real
+                # param update moves the sums by orders of magnitude more
+                if not np.allclose(want, got, rtol=1e-4, atol=1e-5):
                     raise ValueError(
                         f"stale serving bias cache at {'/'.join(path)}: "
                         f"the cached LN-folded weights were built from "
