@@ -141,8 +141,17 @@ def main():
     data, _ = rtd.xspace_to_tool_data(xplanes, "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = list(csv.reader(io.StringIO(data)))
-    hdr = rows[0]
+    if data.lstrip().startswith("{"):
+        # newer xprof emits a gviz DataTable JSON instead of CSV
+        import json as _json
+        tbl = _json.loads(data)
+        hdr = [c.get("id", "") for c in tbl["cols"]]
+        rows = [hdr] + [
+            [("" if cell is None else str(cell.get("v", "")))
+             for cell in r["c"]] for r in tbl["rows"]]
+    else:
+        rows = list(csv.reader(io.StringIO(data)))
+        hdr = rows[0]
     if args.csv_out:
         with open(args.csv_out, "w") as f:
             f.write(data)
@@ -155,12 +164,18 @@ def main():
         raise KeyError(f"{name} not in {hdr}")
 
     try:
-        c_time = col("total_time_in_us")
+        c_time = col("total_self_time")
     except KeyError:
-        c_time = col("occurrences")  # fallback; print header for debugging
+        try:
+            c_time = col("total_time_in_us")
+        except KeyError:
+            c_time = col("total_time")
     c_name = col("hlo_op_expression") if any(
         "hlo_op_expression" in h for h in hdr) else col("hlo_op_name")
-    c_cat = col("hlo_category")
+    try:
+        c_cat = col("hlo_category")
+    except KeyError:
+        c_cat = col("category")
     body = [r for r in rows[1:] if len(r) == len(hdr)]
     body.sort(key=lambda r: -float(r[c_time] or 0))
     tot = sum(float(r[c_time] or 0) for r in body)
