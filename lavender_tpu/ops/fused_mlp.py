@@ -215,9 +215,20 @@ def _chunked_kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref,
     o_ref[:] = o_ref[:] + o.astype(o_ref.dtype)
 
 
+# LVT_MLPTM / LVT_MLPHD (round-5 stage-4 knobs): token-tile rows and HD
+# chunk of the chunked LN+MLP kernel.  The weights (16 MB at C=1024,
+# HD=4096) do not fit VMEM, so every token tile re-streams the full set:
+# weight traffic = (M/tm) * 2*C*HD*2 bytes.  tm=512 (round-1 default)
+# streams 192 MB per stage-4 call (profiled 1.13 ms vs the ~0.52 ms dot
+# ideal); larger tm cuts the re-fetch count linearly until the slab +
+# double-buffered weight blocks hit the ~16 MB VMEM ceiling.
+_MLPTM = int(__import__("os").environ.get("LVT_MLPTM", "512"))
+_MLPHD = int(__import__("os").environ.get("LVT_MLPHD", "1024"))
+
+
 def fused_ln_mlp_chunked(x, ln_scale, ln_bias, w1, b1, w2, b2,
                          eps: float = 1e-5, add_residual: bool = False,
-                         hd_chunk: int = 1024, tm: int = 512):
+                         hd_chunk: int = None, tm: int = None):
     """LN+MLP(+residual) with the 4x-wide weights streamed in HD chunks —
     for layers whose full weights exceed VMEM (Swin stage 4: C=1024,
     HD=4096 -> 16.8 MB; round 1 fell back to unfused XLA there).
@@ -225,6 +236,10 @@ def fused_ln_mlp_chunked(x, ln_scale, ln_bias, w1, b1, w2, b2,
     Forward-only building block (no custom_vjp): the training path uses the
     reference math.
     """
+    if hd_chunk is None:
+        hd_chunk = _MLPHD
+    if tm is None:
+        tm = _MLPTM
     M, C = x.shape
     HD = w1.shape[1]
     while HD % hd_chunk != 0:
